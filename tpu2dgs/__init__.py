@@ -1,0 +1,23 @@
+"""tpu2dgs — TPU-native 2D Gaussian (surfel) Splatting in JAX/XLA/Pallas.
+
+A from-scratch, TPU-first framework with the capabilities of
+hbb1/2d-gaussian-splatting (SIGGRAPH 2024): training geometrically accurate
+radiance fields from posed images with 2D oriented Gaussian surfels, a
+differentiable tile-based rasterizer (RGB / alpha / depth / normal /
+depth-distortion outputs), adaptive densification, TSDF mesh extraction and
+the full evaluation harness.
+
+Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
+  core/      camera models, spherical harmonics, quaternion/surfel transforms
+  raster/    differentiable surfel rasterizer: pure-jnp oracle, tiled XLA
+             implementation, Pallas TPU kernels, binning
+  model/     padded static-shape splat parameter store, Adam, densification
+  data/      COLMAP / Blender / PLY loaders, scene assembly
+  train/     losses and the jitted training step + host loop
+  mesh/      bounded & unbounded (contracted) TSDF fusion + marching cubes
+  parallel/  device-mesh sharding (tile / splat parallel), multi-host
+  eval/      PSNR/SSIM/LPIPS metrics and benchmark harnesses
+  cli/       train / render / metrics / view entry points
+"""
+
+__version__ = "0.1.0"

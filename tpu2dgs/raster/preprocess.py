@@ -1,0 +1,184 @@
+"""Per-splat preprocessing: world -> screen surfel transforms.
+
+TPU-native equivalent of the reference rasterizer's `preprocessCUDA` stage
+(SURVEY.md §2.10 [RECON]; interface pinned by
+/root/reference/gaussian_renderer/__init__.py:37-106). Pure jnp, fully
+vectorized over splats — XLA fuses this into a handful of elementwise ops, so
+no Pallas is needed here.
+
+Geometry: a surfel maps (u, v, 1) in its tangent plane to homogeneous pixel
+coordinates (x*w, y*w, w) through the 3x3 matrix
+
+    T = splat2world[[u-axis, v-axis, center]] @ world2pix[:, [x, y, w]]
+
+(the Python mirror of this composition is gaussian_renderer/__init__.py:66-75).
+Column j of T is the coefficient vector a_j with (u,v,1)·a_0 = x*w etc., and
+w equals the view-space depth of the plane point.
+
+The projected splat center is made an explicit differentiable intermediate
+(`mean2d`), reparametrizing T's third row as ((mean2d + offset) * w, w). The
+gradient w.r.t. `offset` is then exactly the reference's screen-space
+`means2D.grad` used for densification (train.py:126-131,
+scene/gaussian_model.py:405-407), without the side-channel `.retain_grad()`
+trick — idiomatic JAX instead.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from tpu2dgs.core import sh as sh_lib
+from tpu2dgs.core import transforms
+from tpu2dgs.core.cameras import CameraArrays, ndc_to_pix
+
+# Frustum near-plane cull for splat centers; matches the CUDA NEAR_PLANE
+# behavior reconstructed in SURVEY.md §2.10 [RECON].
+NEAR_CULL = 0.2
+# Screen-space low-pass filter: rho2d = FILTER_INV_SQUARE * |d|^2, i.e. a
+# fixed ~0.7px sigma anti-aliasing floor [RECON]. Its gradient is removed
+# (reference README.md:118).
+FILTER_INV_SQUARE = 2.0
+# 3-sigma cutoff of the Gaussian when computing screen bounds.
+CUTOFF = 3.0
+# Minimum screen radius so the low-pass filter footprint is fully rasterized:
+# alpha = exp(-rho2d/2) falls below 1/255 at |d| ~ sqrt(ln(255)/1) ~ 2.35px.
+MIN_RADIUS = 3.0
+
+
+class SplatScreen(NamedTuple):
+    """Per-splat screen-space quantities consumed by all blend backends."""
+
+    tmat: jnp.ndarray      # (N,3,3) rows [u; v; center]: (u,v,1)@tmat = (xw, yw, w)
+    color: jnp.ndarray     # (N,3) RGB from SH at the center view direction
+    opacity: jnp.ndarray   # (N,) activated opacity
+    normal: jnp.ndarray    # (N,3) view-space unit normal, flipped toward camera
+    mean2d: jnp.ndarray    # (N,2) projected center (pixel coords)
+    filter_center: jnp.ndarray  # (N,2) conic AABB center, for the low-pass term
+    depth: jnp.ndarray     # (N,) view-space center depth (sort key); +inf if culled
+    radius: jnp.ndarray    # (N,) int32 screen radius in pixels; 0 if culled
+    visible: jnp.ndarray   # (N,) bool
+
+
+def conic_bounds(tmat: jnp.ndarray):
+    """Screen AABB of the projected CUTOFF-sigma disk.
+
+    Extremes of the projective map x = (a1·m)/(a3·m) over the homogeneous
+    conic u^2+v^2 = CUTOFF^2 (dual conic D = diag(c^2, c^2, -1)):
+      center = (a1^T D a3) / (a3^T D a3),
+      half_extent^2 = center^2 - (a1^T D a1)/(a3^T D a3).
+
+    Returns (center (N,2), half_extent (N,2), valid (N,)).
+    """
+    a1 = tmat[..., :, 0]
+    a2 = tmat[..., :, 1]
+    a3 = tmat[..., :, 2]
+    c2 = CUTOFF * CUTOFF
+    d = jnp.array([c2, c2, -1.0], dtype=tmat.dtype)
+
+    def quad(x, y):
+        return jnp.sum(x * d * y, axis=-1)
+
+    denom = quad(a3, a3)
+    valid = jnp.abs(denom) > 1e-12
+    safe = jnp.where(valid, denom, 1.0)
+    cx = quad(a1, a3) / safe
+    cy = quad(a2, a3) / safe
+    ex2 = cx * cx - quad(a1, a1) / safe
+    ey2 = cy * cy - quad(a2, a2) / safe
+    center = jnp.stack([cx, cy], axis=-1)
+    half_extent = jnp.sqrt(jnp.maximum(jnp.stack([ex2, ey2], axis=-1), 1e-4))
+    return center, half_extent, valid
+
+
+def preprocess(
+    xyz: jnp.ndarray,          # (N,3)
+    scaling: jnp.ndarray,      # (N,2) activated (exp) scales
+    rotation: jnp.ndarray,     # (N,4) raw wxyz quaternion
+    opacity: jnp.ndarray,      # (N,) activated (sigmoid) opacity
+    features: jnp.ndarray,     # (N,K,3) SH coefficients (dc first)
+    cam: CameraArrays,
+    width: int,
+    height: int,
+    sh_degree: int,
+    mean2d_offset: jnp.ndarray | None = None,  # (N,2) zeros; grad = means2D.grad
+    scale_modifier: float = 1.0,
+    live: jnp.ndarray | None = None,           # (N,) bool mask for padded slots
+    override_color: jnp.ndarray | None = None,  # (N,3)
+) -> SplatScreen:
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    if mean2d_offset is None:
+        mean2d_offset = jnp.zeros((n, 2), f32)
+
+    tu, tv, tw = transforms.splat_axes(scaling * scale_modifier, rotation)
+
+    world2pix = cam.full_proj @ ndc_to_pix(width, height, cam.znear, cam.zfar)
+    wp = world2pix[:, jnp.array([0, 1, 3])]  # (4,3): world -> (xw, yw, w)
+
+    row_u = tu @ wp[:3, :]                       # directions: no translation
+    row_v = tv @ wp[:3, :]
+    row_c = transforms.homogenize(xyz) @ wp      # (N,3) homogeneous pixel center
+
+    # View-space center & frustum cull.
+    p_view = transforms.homogenize(xyz) @ cam.world_view
+    z = p_view[:, 2]
+    in_front = z > NEAR_CULL
+
+    # Differentiable screen center (reparametrized third row).
+    wc = row_c[:, 2]
+    safe_wc = jnp.where(jnp.abs(wc) > 1e-12, wc, 1.0)
+    mean2d = row_c[:, :2] / safe_wc[:, None]
+    row_c = jnp.concatenate(
+        [(mean2d + mean2d_offset) * wc[:, None], wc[:, None]], axis=-1
+    )
+
+    tmat = jnp.stack([row_u, row_v, row_c], axis=-2)  # (N,3,3)
+
+    # Screen bounds (non-differentiable: binning / visibility only).
+    center, half_extent, conic_ok = conic_bounds(lax.stop_gradient(tmat))
+    radius_f = jnp.maximum(jnp.max(half_extent, axis=-1), MIN_RADIUS)
+    radius = jnp.ceil(radius_f).astype(jnp.int32)
+
+    # Cull splats whose AABB misses the screen entirely.
+    on_screen = (
+        (center[:, 0] + radius_f >= 0.0)
+        & (center[:, 0] - radius_f <= width - 1)
+        & (center[:, 1] + radius_f >= 0.0)
+        & (center[:, 1] - radius_f <= height - 1)
+    )
+
+    visible = in_front & conic_ok & on_screen
+    if live is not None:
+        visible = visible & live
+    radius = jnp.where(visible, radius, 0)
+    depth = jnp.where(visible, z, jnp.inf)
+
+    # Color from SH at the center view direction (the rasterizer-internal
+    # path; pipe.convert_SHs_python is force-False in the reference,
+    # gaussian_renderer/__init__.py:82).
+    if override_color is not None:
+        color = override_color
+    else:
+        dirs = transforms.normalize(xyz - cam.cam_center[None, :])
+        shs = jnp.swapaxes(features, -1, -2)  # (N,3,K)
+        color = jnp.maximum(sh_lib.eval_sh(sh_degree, shs, dirs) + 0.5, 0.0)
+
+    # View-space normal flipped to face the camera (dual-visible surfels).
+    n_view = tw @ cam.world_view[:3, :3]
+    facing = jnp.sum(p_view[:, :3] * n_view, axis=-1)
+    n_view = jnp.where(facing[:, None] < 0.0, n_view, -n_view)
+
+    return SplatScreen(
+        tmat=tmat,
+        color=color,
+        opacity=opacity,
+        normal=n_view,
+        mean2d=mean2d,
+        filter_center=lax.stop_gradient(center),
+        depth=depth,
+        radius=radius,
+        visible=visible,
+    )
