@@ -18,6 +18,7 @@ import dataclasses
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,6 +210,12 @@ def depth_to_normal(cam: CameraArrays, depth: jnp.ndarray, width: int, height: i
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # Safe normalization (double-where): at flat/background pixels the cross
+    # product is exactly 0 and d|n|/dn would be NaN; zero the output and its
+    # gradient there instead.
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    nonzero = n2 > 0.0
+    inv = jax.lax.rsqrt(jnp.where(nonzero, n2, 1.0))
+    n = jnp.where(nonzero, n, 0.0) * inv
     out = jnp.zeros_like(pts)
     return out.at[1:-1, 1:-1, :].set(n)

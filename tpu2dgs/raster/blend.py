@@ -28,14 +28,17 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-ALPHA_MIN = 1.0 / 255.0
-ALPHA_CLAMP = 0.99
-T_EPS = 1e-4
-MEDIAN_T = 0.5
-DIST_NEAR = 0.2
-DIST_FAR = 100.0
-INTERSECT_NEAR = 0.2  # minimum per-pixel intersection depth [RECON]
-FILTER_INV_SQUARE = 2.0
+from tpu2dgs.raster.common import (
+    ALPHA_CLAMP,
+    ALPHA_MIN,
+    CUTOFF,
+    DIST_FAR,
+    DIST_NEAR,
+    FILTER_INV_SQUARE,
+    INTERSECT_NEAR,
+    MEDIAN_T,
+    T_EPS,
+)
 
 
 class PixelState(NamedTuple):
@@ -104,7 +107,13 @@ def splat_pixel_response(tmat, filter_center, opacity, px, py):
     depth = su * a3[..., 0] + sv * a3[..., 1] + a3[..., 2]
 
     alpha = jnp.minimum(ALPHA_CLAMP, opacity[:, None] * jnp.exp(-0.5 * rho))
-    contrib = valid & (depth >= INTERSECT_NEAR) & (alpha >= ALPHA_MIN)
+    # Hard CUTOFF-sigma truncation of the conic path: a pixel only responds if
+    # it lies inside the projected 3-sigma disk OR inside the low-pass
+    # footprint (rho2d governs, and alpha >= 1/255 bounds |d| <= ~2.35px <=
+    # MIN_RADIUS). This makes the contribution set exactly representable by
+    # the screen AABBs that tile binning uses, so oracle == tiled == pallas.
+    inside = (rho3d <= CUTOFF * CUTOFF) | (rho2d <= rho3d)
+    contrib = valid & inside & (depth >= INTERSECT_NEAR) & (alpha >= ALPHA_MIN)
     return alpha, depth, contrib
 
 

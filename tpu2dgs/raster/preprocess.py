@@ -33,19 +33,7 @@ from jax import lax
 from tpu2dgs.core import sh as sh_lib
 from tpu2dgs.core import transforms
 from tpu2dgs.core.cameras import CameraArrays, ndc_to_pix
-
-# Frustum near-plane cull for splat centers; matches the CUDA NEAR_PLANE
-# behavior reconstructed in SURVEY.md §2.10 [RECON].
-NEAR_CULL = 0.2
-# Screen-space low-pass filter: rho2d = FILTER_INV_SQUARE * |d|^2, i.e. a
-# fixed ~0.7px sigma anti-aliasing floor [RECON]. Its gradient is removed
-# (reference README.md:118).
-FILTER_INV_SQUARE = 2.0
-# 3-sigma cutoff of the Gaussian when computing screen bounds.
-CUTOFF = 3.0
-# Minimum screen radius so the low-pass filter footprint is fully rasterized:
-# alpha = exp(-rho2d/2) falls below 1/255 at |d| ~ sqrt(ln(255)/1) ~ 2.35px.
-MIN_RADIUS = 3.0
+from tpu2dgs.raster.common import CUTOFF, MIN_RADIUS, NEAR_CULL
 
 
 class SplatScreen(NamedTuple):

@@ -1,0 +1,308 @@
+"""Training: jitted step + host-side orchestration.
+
+The per-iteration work of reference train.py:54-168 splits into:
+  * `make_train_step` — one fused jit: render -> loss -> grad -> Adam ->
+    densification-stat accumulation. Pure function of (model, adam, camera,
+    gt, step). Loss-term schedule gates (normal loss after 7k iters,
+    distortion after 3k, train.py:77-78) enter as *dynamic* scalars so the
+    program never recompiles mid-run.
+  * `make_densify_step` — jitted clone/split/prune every
+    `densification_interval` iters (train.py:126-135).
+  * `Trainer` — host loop: camera shuffling, cadence decisions, capacity
+    growth at recompile boundaries, EMA logging, checkpointing.
+
+Densification gradients: the reference reads `means2D.grad` off a dummy
+tensor (train.py:126-131). Here the same quantity is the gradient w.r.t. the
+`mean2d_offset` argument, converted from pixel units to the reference's
+NDC-half-extent units (the CUDA backward scales by 0.5*W — SURVEY.md §2.10)
+so the 2e-4 threshold carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu2dgs.core.cameras import Camera
+from tpu2dgs.model import densify as densify_lib
+from tpu2dgs.model import optim as optim_lib
+from tpu2dgs.model import splats as splats_lib
+from tpu2dgs.raster.api import RasterSettings, render
+from tpu2dgs.train import losses
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization defaults of record (reference arguments/__init__.py:73-95
+    + train.py schedule constants)."""
+
+    iterations: int = 30_000
+    lambda_dssim: float = 0.2
+    lambda_dist: float = 0.0
+    lambda_normal: float = 0.05
+    normal_from_iter: int = 7_000
+    dist_from_iter: int = 3_000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3_000
+    sh_increment_interval: int = 1_000
+    grad_threshold: float = 2e-4
+    percent_dense: float = 0.01
+    opacity_cull: float = 0.05
+    random_background: bool = False
+    grow_watermark: float = 0.9   # grow capacity when live/capacity exceeds
+
+
+def make_train_step(
+    settings: RasterSettings,
+    opt_cfg: optim_lib.OptimConfig,
+    lambda_dssim: float,
+    spatial_lr_scale: float,
+) -> Callable:
+    """Returns jitted step(model, adam, cam, gt, bg, step, lam_normal,
+    lam_dist) -> (model, adam, metrics)."""
+
+    half = jnp.array(
+        [settings.width * 0.5, settings.height * 0.5], jnp.float32
+    )
+
+    @jax.jit
+    def step_fn(model, adam, cam, gt, bg, step, lam_normal, lam_dist):
+        p = model.params
+        zeros_off = jnp.zeros((model.capacity, 2), jnp.float32)
+
+        def loss_fn(params, offset):
+            out = render(
+                cam, settings,
+                params.xyz,
+                jnp.exp(params.scaling),
+                params.rotation,
+                jax.nn.sigmoid(params.opacity[:, 0]),
+                splats_lib.features(params),
+                bg,
+                mean2d_offset=offset,
+                live=model.live,
+            )
+            photo, ll1 = losses.photometric_loss(out["render"], gt, lambda_dssim)
+            ln = losses.normal_consistency_loss(
+                out["rend_normal"], out["surf_normal"])
+            ld = losses.distortion_loss(out["rend_dist"])
+            total = photo + lam_normal * ln + lam_dist * ld
+            return total, (out["radii"], ll1, ln, ld)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, (radii, ll1, ln, ld)), (gparams, goffset) = grad_fn(p, zeros_off)
+
+        lrs = optim_lib.learning_rates(opt_cfg, step, spatial_lr_scale)
+        new_params, new_adam = optim_lib.adam_step(
+            opt_cfg, p, gparams, adam, lrs, model.live
+        )
+        model = model._replace(params=new_params)
+        model = densify_lib.add_stats(model, goffset * half[None, :], radii)
+
+        metrics = {
+            "loss": loss, "l1": ll1, "normal": ln, "dist": ld,
+            "num_visible": jnp.sum(radii > 0),
+        }
+        return model, adam, metrics
+
+    return step_fn
+
+
+def make_densify_step(cfg: densify_lib.DensifyConfig) -> Callable:
+    @jax.jit
+    def densify_fn(model, adam, key, extent, use_size_prune):
+        return densify_lib.densify_and_prune(
+            cfg, model, adam, key, extent, use_size_prune
+        )
+
+    return densify_fn
+
+
+def grow_with_adam(model, adam: optim_lib.AdamState, new_capacity: int):
+    """Capacity growth at a recompile boundary: pad params + Adam moments."""
+    old_cap = model.capacity
+    model = splats_lib.grow_capacity(model, new_capacity)
+    extra = new_capacity - old_cap
+
+    def pad(a):
+        widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    adam = optim_lib.AdamState(
+        count=adam.count,
+        mu=splats_lib.SplatParams(*(pad(a) for a in adam.mu)),
+        nu=splats_lib.SplatParams(*(pad(a) for a in adam.nu)),
+    )
+    return model, adam
+
+
+class Trainer:
+    """Host-side training orchestration (reference train.py:31-168)."""
+
+    def __init__(
+        self,
+        model: splats_lib.SplatModel,
+        cameras: list[Camera],
+        width: int,
+        height: int,
+        spatial_lr_scale: float,
+        scene_extent: float,
+        train_cfg: TrainConfig = TrainConfig(),
+        opt_cfg: optim_lib.OptimConfig = optim_lib.OptimConfig(),
+        raster_kwargs: Optional[dict] = None,
+        white_background: bool = False,
+        max_sh_degree: int = 3,
+        seed: int = 0,
+        log_fn: Optional[Callable[[int, dict], None]] = None,
+    ):
+        self.model = model
+        self.adam = optim_lib.init_adam(model.params)
+        self.cameras = cameras
+        self.width, self.height = width, height
+        self.spatial_lr_scale = spatial_lr_scale
+        self.scene_extent = scene_extent
+        self.cfg = train_cfg
+        self.opt_cfg = opt_cfg
+        self.raster_kwargs = dict(raster_kwargs or {})
+        self.white_background = white_background
+        self.max_sh_degree = max_sh_degree
+        self.active_sh_degree = 0
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.log_fn = log_fn
+        self.step = 0
+        self.ema_loss = 0.0
+        self._cam_stack: list[int] = []
+        self._step_fns: dict[Any, Callable] = {}
+        self.densify_cfg = densify_lib.DensifyConfig(
+            grad_threshold=train_cfg.grad_threshold,
+            percent_dense=train_cfg.percent_dense,
+            opacity_cull=train_cfg.opacity_cull,
+        )
+        self._densify_fn = make_densify_step(self.densify_cfg)
+        self.bg = (
+            jnp.ones(3, jnp.float32) if white_background
+            else jnp.zeros(3, jnp.float32)
+        )
+
+    # -- helpers -----------------------------------------------------------
+
+    def _settings(self) -> RasterSettings:
+        return RasterSettings(
+            width=self.width, height=self.height,
+            sh_degree=self.active_sh_degree, **self.raster_kwargs,
+        )
+
+    def _get_step_fn(self) -> Callable:
+        key = (self.active_sh_degree, self.model.capacity)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step(
+                self._settings(), self.opt_cfg, self.cfg.lambda_dssim,
+                self.spatial_lr_scale,
+            )
+        return self._step_fns[key]
+
+    def _next_camera(self) -> Camera:
+        if not self._cam_stack:
+            self._cam_stack = list(self.rng.permutation(len(self.cameras)))
+        return self.cameras[self._cam_stack.pop()]
+
+    def _split_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- the loop ----------------------------------------------------------
+
+    def train(self, num_iters: Optional[int] = None, progress: bool = False):
+        end = self.step + (num_iters or self.cfg.iterations)
+        t0 = time.perf_counter()
+        while self.step < end:
+            self.step += 1
+            it = self.step
+            cfg = self.cfg
+
+            # SH degree warmup: one level every 1000 iters (train.py:60-62).
+            if (
+                it % cfg.sh_increment_interval == 0
+                and self.active_sh_degree < self.max_sh_degree
+            ):
+                self.active_sh_degree += 1
+
+            cam = self._next_camera()
+            gt = jnp.asarray(cam.image, jnp.float32)
+            bg = (
+                jax.random.uniform(self._split_key(), (3,))
+                if cfg.random_background else self.bg
+            )
+            lam_n = jnp.float32(
+                cfg.lambda_normal if it > cfg.normal_from_iter else 0.0)
+            lam_d = jnp.float32(
+                cfg.lambda_dist if it > cfg.dist_from_iter else 0.0)
+
+            step_fn = self._get_step_fn()
+            self.model, self.adam, metrics = step_fn(
+                self.model, self.adam, cam.arrays(), gt, bg,
+                jnp.float32(it), lam_n, lam_d,
+            )
+
+            # Densify / prune / opacity reset (train.py:126-135).
+            if it < cfg.densify_until_iter:
+                if (
+                    it > cfg.densify_from_iter
+                    and it % cfg.densification_interval == 0
+                ):
+                    use_size = it > cfg.opacity_reset_interval
+                    self.model, self.adam, info = self._densify_fn(
+                        self.model, self.adam, self._split_key(),
+                        jnp.float32(self.scene_extent), use_size,
+                    )
+                    live = int(info.num_live)
+                    if live > self.cfg.grow_watermark * self.model.capacity:
+                        self.model, self.adam = grow_with_adam(
+                            self.model, self.adam,
+                            splats_lib.round_capacity(2 * self.model.capacity),
+                        )
+                if it % cfg.opacity_reset_interval == 0 or (
+                    self.white_background and it == cfg.densify_from_iter
+                ):
+                    self.model, self.adam = jax.jit(densify_lib.reset_opacity)(
+                        self.model, self.adam
+                    )
+
+            if self.log_fn is not None:
+                self.log_fn(it, metrics)
+            loss_val = float(metrics["loss"])
+            self.ema_loss = 0.4 * loss_val + 0.6 * self.ema_loss
+            if progress and it % 200 == 0:
+                dt = time.perf_counter() - t0
+                print(
+                    f"[{it}] loss={self.ema_loss:.4f} "
+                    f"live={int(self.model.num_live())} "
+                    f"({it / dt:.1f} it/s)",
+                    flush=True,
+                )
+        return self.model
+
+    # -- rendering for eval -------------------------------------------------
+
+    def render_view(self, cam: Camera, depth_ratio: float = 0.0):
+        settings = RasterSettings(
+            width=self.width, height=self.height,
+            sh_degree=self.active_sh_degree, depth_ratio=depth_ratio,
+            **self.raster_kwargs,
+        )
+        p = self.model.params
+        return render(
+            cam.arrays(), settings,
+            p.xyz, jnp.exp(p.scaling), p.rotation,
+            jax.nn.sigmoid(p.opacity[:, 0]), splats_lib.features(p),
+            self.bg, live=self.model.live,
+        )
