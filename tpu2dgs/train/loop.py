@@ -188,6 +188,7 @@ class Trainer:
             opacity_cull=train_cfg.opacity_cull,
         )
         self._densify_fn = make_densify_step(self.densify_cfg)
+        self._reset_opacity_fn = jax.jit(densify_lib.reset_opacity)
         self.bg = (
             jnp.ones(3, jnp.float32) if white_background
             else jnp.zeros(3, jnp.float32)
@@ -273,7 +274,7 @@ class Trainer:
                 if it % cfg.opacity_reset_interval == 0 or (
                     self.white_background and it == cfg.densify_from_iter
                 ):
-                    self.model, self.adam = jax.jit(densify_lib.reset_opacity)(
+                    self.model, self.adam = self._reset_opacity_fn(
                         self.model, self.adam
                     )
 

@@ -11,6 +11,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -22,11 +23,12 @@ def l2_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float):
-    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    g = g / jnp.sum(g)
-    return g  # (W,)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    # numpy on purpose: a cached jnp computation would leak tracers across
+    # jit boundaries; as a numpy constant it embeds safely in any trace.
+    x = np.arange(window_size, dtype=np.float32) - window_size // 2
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)  # (W,)
 
 
 def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
