@@ -1,0 +1,94 @@
+"""Headline benchmark: rasterizer fwd+bwd throughput on one chip.
+
+Measures the full differentiable render step (the reference's perf-critical
+path, SURVEY.md §6: "Mpix/s/chip fwd+bwd rasterize") on a synthetic
+production-shape scene: value_and_grad of the training photometric+geometry
+loss through the tiled rasterizer at 800x800 with 128K splats.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline normalizes against ~16 Mpix/s — the reference CUDA rasterizer's
+estimated fwd+bwd throughput on a contemporary desktop GPU (~25 train it/s
+at 0.64 Mpix; the repo publishes no direct number, README.md:16 only cites a
+30-40% speedup over its own earlier kernels).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MPIX_S = 16.0
+
+
+def build():
+    from tpu2dgs.core import cameras
+    from tpu2dgs.raster.api import RasterSettings, render
+    from tpu2dgs.train import losses
+
+    small = bool(int(os.environ.get("BENCH_SMALL", "0")))
+    w = h = 256 if small else 800
+    n = 1 << (14 if small else 17)
+
+    settings = RasterSettings(
+        width=w, height=h, sh_degree=3, backend="tiled",
+        bin_capacity=4096, tile_capacity=512,
+    )
+    cam = cameras.Camera(
+        uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
+        fovx=np.pi / 2, fovy=np.pi / 2, width=w, height=h,
+    ).arrays()
+
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1.0, 1.0, (n, 3)) * [1, 1, 0.5] + [0, 0, 2.5]
+    scene = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (
+            xyz,
+            np.exp(rng.uniform(-5.0, -3.5, (n, 2))),
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.2, 0.95, (n,)),
+            rng.normal(size=(n, 16, 3)) * 0.3,
+        )
+    )
+    gt = jnp.zeros((3, h, w), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+
+    def loss_fn(xyz, scaling, rotation, opacity, features):
+        out = render(cam, settings, xyz, scaling, rotation, opacity,
+                     features, bg)
+        photo, _ = losses.photometric_loss(out["render"], gt, 0.2)
+        ln = losses.normal_consistency_loss(out["rend_normal"], out["surf_normal"])
+        ld = losses.distortion_loss(out["rend_dist"])
+        return photo + 0.05 * ln + 100.0 * ld
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    return step, scene, w * h
+
+
+def main():
+    step, scene, pixels = build()
+    grads = step(*scene)
+    jax.block_until_ready(grads)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        grads = step(*scene)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = pixels / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,8 +56,12 @@ def render(
     mean2d_offset: Optional[jnp.ndarray] = None,
     live: Optional[jnp.ndarray] = None,
     override_color: Optional[jnp.ndarray] = None,
+    mesh=None,
 ):
-    """Render one view. Returns the reference-contract dict."""
+    """Render one view. Returns the reference-contract dict.
+
+    With `mesh` (a jax.sharding.Mesh with a "rows" axis), the tiled backend
+    shards image tile rows across devices (tpu2dgs/parallel/sharded.py)."""
     w, h = settings.width, settings.height
     opacity = opacity.reshape(-1)
 
@@ -82,9 +86,14 @@ def render(
 
         image, allmap = rasterize_oracle(splats, w, h, bg_color, chunk=settings.chunk)
     elif settings.backend == "tiled":
-        from tpu2dgs.raster.tiled import rasterize_tiled
+        if mesh is not None:
+            from tpu2dgs.parallel.sharded import rasterize_sharded
 
-        image, allmap = rasterize_tiled(splats, settings, bg_color)
+            image, allmap = rasterize_sharded(splats, settings, bg_color, mesh)
+        else:
+            from tpu2dgs.raster.tiled import rasterize_tiled
+
+            image, allmap = rasterize_tiled(splats, settings, bg_color)
     elif settings.backend == "pallas":
         from tpu2dgs.raster.pallas_backend import rasterize_pallas
 

@@ -17,6 +17,11 @@ static shapes and no atomics. The design here:
      `blend.py` (vmapped over tiles). Front-to-back order dependence is
      closed-form via cumulative ops inside each chunk.
 
+`rasterize_rows` renders a horizontal strip of tile rows with a dynamic
+row offset: the unit of distribution. Sharding the strip loop over a device
+mesh (tpu2dgs/parallel/) gives tile-parallel rendering with no change to
+the math — each device bins and blends only its rows.
+
 Capacity overflow (a tile touching more than `tile_capacity` splats) drops
 the *farthest* splats — the ones a saturated pixel would skip anyway. The
 aux dict reports per-frame maxima so capacities can be validated offline.
@@ -66,6 +71,7 @@ def bin_coarse(
     nby: int,
     bin_px: int,
     capacity: int,
+    bin_row_offset,         # traced or 0: first coarse-bin row of this strip
     chunk: int = 32768,
 ):
     """Streaming front-most-`capacity` selection per coarse bin.
@@ -77,7 +83,7 @@ def bin_coarse(
 
     nb = nby * nbx
     bix = jnp.arange(nb, dtype=jnp.float32) % nbx
-    biy = jnp.arange(nb, dtype=jnp.float32) // nbx
+    biy = jnp.arange(nb, dtype=jnp.float32) // nbx + bin_row_offset
     bx0 = (bix * bin_px)[:, None]
     bx1 = (bix * bin_px + (bin_px - 1))[:, None]
     by0 = (biy * bin_px)[:, None]
@@ -118,6 +124,7 @@ def bin_fine(
     tile_px: int,
     coarse_tiles: int,
     capacity: int,
+    tile_row_offset,          # traced or 0: first fine-tile row of this strip
 ):
     """Refine coarse candidates to per-fine-tile lists.
 
@@ -138,8 +145,9 @@ def bin_fine(
 
     t = nty * ntx
     tix = jnp.arange(t, dtype=jnp.int32) % ntx
-    tiy = jnp.arange(t, dtype=jnp.int32) // ntx
-    bin_of_tile = (tiy // coarse_tiles) * nbx + tix // coarse_tiles  # (T,)
+    tiy_local = jnp.arange(t, dtype=jnp.int32) // ntx
+    tiy = tiy_local + tile_row_offset
+    bin_of_tile = (tiy_local // coarse_tiles) * nbx + tix // coarse_tiles  # (T,)
 
     tx0 = (tix * tile_px).astype(jnp.float32)[:, None]
     tx1 = tx0 + (tile_px - 1)
@@ -159,18 +167,26 @@ def bin_fine(
     return tile_ids, tile_valid, counts
 
 
-def rasterize_tiled(splats: SplatScreen, settings, bg_color: jnp.ndarray,
-                    return_aux: bool = False):
-    """Returns (image (H,W,3), allmap dict) [, aux dict]."""
-    w, h = settings.width, settings.height
+def rasterize_rows(
+    splats: SplatScreen,
+    settings,
+    bg_color: jnp.ndarray,
+    tile_row_offset,     # traced or 0; MUST be a multiple of coarse_tiles
+    nty_local: int,      # static tile-row count of this strip
+    return_aux: bool = False,
+):
+    """Rasterize a horizontal strip of `nty_local` tile rows starting at
+    fine-tile row `tile_row_offset`. Returns (strip (nty_local*tpx, W', 3),
+    allmap dict) with W' = ntx*tpx (caller crops to the true width)."""
+    w = settings.width
     tpx = settings.tile_px
     cbt = settings.coarse_tiles
     n = splats.tmat.shape[0]
     big = n + 1
 
-    ntx, nty = _cdiv(w, tpx), _cdiv(h, tpx)
-    nbx, nby = _cdiv(ntx, cbt), _cdiv(nty, cbt)
-    t = ntx * nty
+    ntx = _cdiv(w, tpx)
+    nbx, nby = _cdiv(ntx, cbt), _cdiv(nty_local, cbt)
+    t = ntx * nty_local
     p = tpx * tpx
 
     order = jnp.argsort(splats.depth).astype(jnp.int32)   # id at rank
@@ -181,15 +197,17 @@ def rasterize_tiled(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     tile_cap = min(settings.tile_capacity, bin_cap)
 
     coarse = bin_coarse(
-        splats, rank_key, big, nbx, nby, bin_px=tpx * cbt, capacity=bin_cap
+        splats, rank_key, big, nbx, nby, bin_px=tpx * cbt, capacity=bin_cap,
+        bin_row_offset=tile_row_offset // cbt,
     )
     tile_ids, tile_valid, counts = bin_fine(
-        splats, order, coarse, big, ntx, nty, tpx, cbt, capacity=tile_cap
+        splats, order, coarse, big, ntx, nty_local, tpx, cbt,
+        capacity=tile_cap, tile_row_offset=tile_row_offset,
     )
 
     # Per-tile global pixel coordinates.
     tix = (jnp.arange(t, dtype=jnp.int32) % ntx)
-    tiy = (jnp.arange(t, dtype=jnp.int32) // ntx)
+    tiy = (jnp.arange(t, dtype=jnp.int32) // ntx) + tile_row_offset
     ly = jnp.repeat(jnp.arange(tpx, dtype=jnp.float32), tpx)   # (P,)
     lx = jnp.tile(jnp.arange(tpx, dtype=jnp.float32), tpx)
     px = tix[:, None].astype(jnp.float32) * tpx + lx[None, :]  # (T, P)
@@ -229,9 +247,10 @@ def rasterize_tiled(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     color, maps = jax.vmap(lambda s: blend.finalize(s, bg_color))(state)
 
     def untile(a):
-        a = a.reshape(nty, ntx, tpx, tpx, *a.shape[2:])
-        a = jnp.moveaxis(a, 2, 1).reshape(nty * tpx, ntx * tpx, *a.shape[4:])
-        return a[:h, :w]
+        a = a.reshape(nty_local, ntx, tpx, tpx, *a.shape[2:])
+        return jnp.moveaxis(a, 2, 1).reshape(
+            nty_local * tpx, ntx * tpx, *a.shape[4:]
+        )
 
     image = untile(color.reshape(t, p, 3))
     allmap = {k: untile(v.reshape(t, p, *v.shape[2:])) for k, v in maps.items()}
@@ -244,6 +263,21 @@ def rasterize_tiled(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         "bin_overflow": jnp.sum(coarse[:, -1] < big),
     }
     return image, allmap, aux
+
+
+def rasterize_tiled(splats: SplatScreen, settings, bg_color: jnp.ndarray,
+                    return_aux: bool = False):
+    """Returns (image (H,W,3), allmap dict) [, aux dict]."""
+    h = settings.height
+    nty = _cdiv(h, settings.tile_px)
+    out = rasterize_rows(
+        splats, settings, bg_color, 0, nty, return_aux=return_aux
+    )
+    image, allmap = out[0][:h, : settings.width], out[1]
+    allmap = {k: v[:h, : settings.width] for k, v in allmap.items()}
+    if return_aux:
+        return image, allmap, out[2]
+    return image, allmap
 
 
 def _pow2_at_least(n: int) -> int:

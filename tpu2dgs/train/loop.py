@@ -65,9 +65,14 @@ def make_train_step(
     opt_cfg: optim_lib.OptimConfig,
     lambda_dssim: float,
     spatial_lr_scale: float,
+    mesh=None,
 ) -> Callable:
     """Returns jitted step(model, adam, cam, gt, bg, step, lam_normal,
-    lam_dist) -> (model, adam, metrics)."""
+    lam_dist) -> (model, adam, metrics).
+
+    With `mesh`, rasterization is tile-row sharded across the mesh's "rows"
+    axis and splat-parameter gradients are psum'd by the shard_map transpose
+    (tpu2dgs/parallel/sharded.py)."""
 
     half = jnp.array(
         [settings.width * 0.5, settings.height * 0.5], jnp.float32
@@ -89,6 +94,7 @@ def make_train_step(
                 bg,
                 mean2d_offset=offset,
                 live=model.live,
+                mesh=mesh,
             )
             photo, ll1 = losses.photometric_loss(out["render"], gt, lambda_dssim)
             ln = losses.normal_consistency_loss(
