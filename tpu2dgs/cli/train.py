@@ -1,0 +1,185 @@
+"""`tpu2dgs-train` — flag-compatible with reference train.py:252-277.
+
+python -m tpu2dgs.cli.train -s <data> -m <output> [--iterations 30000] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import uuid
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from tpu2dgs.cli import config as cfg_lib
+
+    parser = argparse.ArgumentParser(description="tpu2dgs training")
+    cfg_lib.add_group(parser, cfg_lib.ModelParams)
+    cfg_lib.add_group(parser, cfg_lib.OptimizationParams)
+    cfg_lib.add_group(parser, cfg_lib.PipelineParams)
+    cfg_lib.add_group(parser, cfg_lib.RasterParams)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--disable_viewer", action="store_true", default=False)
+    parser.add_argument("--max_capacity", type=int, default=4_194_304)
+    return parser
+
+
+def main(argv=None):
+    from tpu2dgs.cli import config as cfg_lib
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    model_p = cfg_lib.extract(cfg_lib.ModelParams, args)
+    opt_p = cfg_lib.extract(cfg_lib.OptimizationParams, args)
+    pipe_p = cfg_lib.extract(cfg_lib.PipelineParams, args)
+    raster_p = cfg_lib.extract(cfg_lib.RasterParams, args)
+
+    if not model_p.model_path:
+        model_p.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
+        args.model_path = model_p.model_path
+    os.makedirs(model_p.model_path, exist_ok=True)
+    cfg_lib.save_cfg_args(model_p.model_path, args)
+    print(f"Output folder: {model_p.model_path}")
+
+    run_training(model_p, opt_p, pipe_p, raster_p, args)
+
+
+def run_training(model_p, opt_p, pipe_p, raster_p, args):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu2dgs.data.scene import Scene
+    from tpu2dgs.model import optim as optim_lib
+    from tpu2dgs.model import splats as splats_lib
+    from tpu2dgs.train import checkpoint as ckpt_lib
+    from tpu2dgs.train import losses
+    from tpu2dgs.train.loop import TrainConfig, Trainer
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    scene = Scene.load(
+        model_p.source_path, images_dir=model_p.images,
+        resolution=model_p.resolution,
+        white_background=model_p.white_background,
+        eval_split=model_p.eval, seed=args.seed,
+    )
+    cam0 = scene.train_cameras[0]
+    w, h = cam0.width, cam0.height
+    print(f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} test "
+          f"cameras at {w}x{h}; extent {scene.extent:.2f}")
+
+    train_cfg = TrainConfig(
+        iterations=opt_p.iterations,
+        lambda_dssim=opt_p.lambda_dssim,
+        lambda_dist=opt_p.lambda_dist,
+        lambda_normal=opt_p.lambda_normal,
+        densify_from_iter=opt_p.densify_from_iter,
+        densify_until_iter=opt_p.densify_until_iter,
+        densification_interval=opt_p.densification_interval,
+        opacity_reset_interval=opt_p.opacity_reset_interval,
+        grad_threshold=opt_p.densify_grad_threshold,
+        percent_dense=opt_p.percent_dense,
+        opacity_cull=opt_p.opacity_cull,
+    )
+    opt_cfg = optim_lib.OptimConfig(
+        position_lr_init=opt_p.position_lr_init,
+        position_lr_final=opt_p.position_lr_final,
+        position_lr_delay_mult=opt_p.position_lr_delay_mult,
+        position_lr_max_steps=opt_p.position_lr_max_steps,
+        feature_lr=opt_p.feature_lr,
+        opacity_lr=opt_p.opacity_lr,
+        scaling_lr=opt_p.scaling_lr,
+        rotation_lr=opt_p.rotation_lr,
+    )
+    raster_kwargs = dict(
+        backend=raster_p.backend, tile_px=raster_p.tile_px,
+        coarse_tiles=raster_p.coarse_tiles,
+        bin_capacity=raster_p.bin_capacity,
+        tile_capacity=raster_p.tile_capacity, chunk=raster_p.chunk,
+        depth_ratio=pipe_p.depth_ratio,
+    )
+
+    start_step = 0
+    if args.start_checkpoint:
+        model, adam, start_step, _ = ckpt_lib.load_checkpoint(args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at step {start_step}")
+    else:
+        model = splats_lib.create_from_pcd(
+            scene.points, scene.colors, sh_degree=model_p.sh_degree,
+        )
+        adam = None
+
+    trainer = Trainer(
+        model, scene.train_cameras, w, h,
+        spatial_lr_scale=scene.extent, scene_extent=scene.extent,
+        train_cfg=train_cfg, opt_cfg=opt_cfg, raster_kwargs=raster_kwargs,
+        white_background=model_p.white_background,
+        max_sh_degree=model_p.sh_degree, seed=args.seed,
+    )
+    if args.start_checkpoint and adam is not None:
+        trainer.adam = adam
+        trainer.step = start_step
+        trainer.active_sh_degree = min(
+            start_step // train_cfg.sh_increment_interval, model_p.sh_degree
+        )
+
+    save_set = set(args.save_iterations)
+    test_set = set(args.test_iterations)
+    ckpt_set = set(args.checkpoint_iterations)
+    block = 200
+
+    while trainer.step < opt_p.iterations:
+        n = min(block, opt_p.iterations - trainer.step)
+        # stop exactly at the next save/test/ckpt boundary
+        boundaries = [
+            i for i in (save_set | test_set | ckpt_set)
+            if trainer.step < i <= trainer.step + n
+        ]
+        if boundaries:
+            n = min(boundaries) - trainer.step
+        trainer.train(num_iters=n, progress=not args.quiet)
+        it = trainer.step
+
+        if it in test_set and scene.test_cameras:
+            vals = []
+            for cam in scene.test_cameras[: min(8, len(scene.test_cameras))]:
+                out = trainer.render_view(cam)
+                vals.append(float(losses.psnr(
+                    jnp.clip(out["render"], 0, 1), jnp.asarray(cam.image))))
+            print(f"[ITER {it}] eval PSNR {np.mean(vals):.2f} "
+                  f"({len(vals)} views)")
+        if it in save_set:
+            out_dir = os.path.join(
+                model_p.model_path, "point_cloud", f"iteration_{it}")
+            os.makedirs(out_dir, exist_ok=True)
+            splats_lib.save_ply(
+                trainer.model, os.path.join(out_dir, "point_cloud.ply"))
+            print(f"[ITER {it}] saved point cloud")
+        if it in ckpt_set:
+            ckpt_lib.save_checkpoint(
+                os.path.join(model_p.model_path, f"chkpnt{it}.npz"),
+                trainer.model, trainer.adam, it,
+            )
+            print(f"[ITER {it}] saved checkpoint")
+
+    print("Training complete.")
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -300,11 +300,13 @@ class Trainer:
 
     # -- rendering for eval -------------------------------------------------
 
-    def render_view(self, cam: Camera, depth_ratio: float = 0.0):
+    def render_view(self, cam: Camera, depth_ratio: Optional[float] = None):
+        kwargs = dict(self.raster_kwargs)
+        if depth_ratio is not None:
+            kwargs["depth_ratio"] = depth_ratio
         settings = RasterSettings(
             width=self.width, height=self.height,
-            sh_degree=self.active_sh_degree, depth_ratio=depth_ratio,
-            **self.raster_kwargs,
+            sh_degree=self.active_sh_degree, **kwargs,
         )
         p = self.model.params
         return render(
