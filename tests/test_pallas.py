@@ -1,0 +1,111 @@
+"""Pallas fused kernels vs the oracle: outputs and gradients (interpret
+mode on CPU; the same kernels compile for TPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_tiled import _cam, _random_scene, _settings, KEYS
+from tpu2dgs.raster import preprocess as pre
+from tpu2dgs.raster.api import render
+from tpu2dgs.raster.pallas_backend import rasterize_pallas
+
+
+def _render_pallas(cam, settings, scene, bg, **kw):
+    w, h = settings.width, settings.height
+    from tpu2dgs.raster.api import decode_outputs
+
+    splats = pre.preprocess(*scene[:5], cam, w, h, settings.sh_degree, **kw)
+    image, allmap = rasterize_pallas(splats, settings, bg, interpret=True)
+    return decode_outputs(cam, settings, splats, image, allmap)
+
+
+def test_pallas_matches_oracle_outputs():
+    w, h = 150, 90  # not multiples of (128, 16): exercises edge cropping
+    cam = _cam(w, h)
+    scene = _random_scene(n=120, seed=21)
+    bg = jnp.array([0.15, 0.05, 0.3])
+    settings = _settings(w, h, "pallas", bin_capacity=256, tile_capacity=128)
+
+    out_o = render(cam, _settings(w, h, "oracle"), *scene, bg)
+    out_p = _render_pallas(cam, settings, scene, bg)
+    for k in KEYS:
+        np.testing.assert_allclose(
+            np.asarray(out_p[k]), np.asarray(out_o[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k,
+        )
+
+
+def test_pallas_early_termination_semantics():
+    # opaque stack: front splats saturate; deep splats must be killed
+    w, h = 128, 16
+    cam = _cam(w, h)
+    n = 40
+    xyz = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (n, 1)) + jnp.linspace(
+        0, 0.5, n)[:, None] * jnp.array([[0.0, 0.0, 1.0]])
+    scaling = jnp.full((n, 2), 0.8)
+    rotation = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1))
+    opacity = jnp.full((n,), 0.99)
+    features = jnp.zeros((n, 16, 3)).at[:, 0, :].set(0.8)
+    scene = (xyz, scaling, rotation, opacity, features)
+    bg = jnp.zeros(3)
+
+    out_o = render(cam, _settings(w, h, "oracle"), *scene, bg)
+    out_p = _render_pallas(
+        cam, _settings(w, h, "pallas", bin_capacity=64, tile_capacity=64),
+        scene, bg)
+    np.testing.assert_allclose(
+        np.asarray(out_p["render"]), np.asarray(out_o["render"]),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_p["rend_alpha"]), np.asarray(out_o["rend_alpha"]),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gradients_match_oracle():
+    w, h = 128, 32
+    cam = _cam(w, h)
+    scene = _random_scene(n=48, seed=22)
+    bg = jnp.array([0.05, 0.05, 0.05])
+
+    def loss_terms(out):
+        return (
+            jnp.sum(out["render"] ** 2)
+            + jnp.sum(out["rend_dist"])
+            + 0.1 * jnp.sum(out["rend_normal"] * out["surf_normal"])
+            + 0.05 * jnp.sum(out["depth_median"])
+        )
+
+    def loss_o(*args):
+        return loss_terms(render(cam, _settings(w, h, "oracle"), *args, bg))
+
+    def loss_p(*args):
+        return loss_terms(_render_pallas(
+            cam, _settings(w, h, "pallas", bin_capacity=64, tile_capacity=64),
+            args, bg))
+
+    g_o = jax.grad(loss_o, argnums=(0, 1, 2, 3, 4))(*scene)
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(*scene)
+    for a, b, name in zip(g_o, g_p, ["xyz", "scl", "rot", "opa", "sh"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-3, atol=3e-5, err_msg=name
+        )
+
+
+def test_pallas_mean2d_offset_gradient():
+    w, h = 128, 16
+    cam = _cam(w, h)
+    scene = _random_scene(n=12, seed=23)
+    bg = jnp.zeros(3)
+    settings = _settings(w, h, "pallas", bin_capacity=32, tile_capacity=32)
+
+    def loss(offset):
+        out = _render_pallas(cam, settings, scene, bg, mean2d_offset=offset)
+        return jnp.sum((out["render"] - 0.5) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((12, 2)))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.linalg.norm(g)) > 1e-6

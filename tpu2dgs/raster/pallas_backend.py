@@ -1,0 +1,566 @@
+"""Fused Pallas TPU rasterizer: forward + backward surfel blending kernels.
+
+The TPU counterpart of the reference's renderCUDA/backward.cu pair
+(SURVEY.md §2.10 [RECON]): CUDA parallelizes the 16x16-pixel tile across a
+thread block and walks splats sequentially; here each grid step owns a
+(BY=16, BX=128)-pixel block — two native (8,128) f32 vector tiles — and
+walks its depth-sorted splat list sequentially with full-plane VPU ops.
+The sequential walk gives bit-faithful front-to-back semantics (sticky
+early termination, median depth, pairwise distortion) with no cumulative-op
+gymnastics, plus two things XLA cannot express:
+
+  * per-tile dynamic trip counts (each block loops only over ITS splats),
+  * chunk-level early exit once every pixel saturates (T < 1e-4).
+
+Ray-splat intersection is linearized: with C = [c1 c2 c3],
+c1 = -(a3 x a2), c2 = -(a1 x a3), c3 = a1 x a2 (a_i = tmat columns), the
+homogeneous intersection is p(x, y) = x*c1 + y*c2 + c3 — 2 FMA per
+component per pixel. `pack_records` computes these per-splat constants in
+XLA (so their gradient w.r.t. tmat is free autodiff); the custom_vjp
+boundary wraps only the blend, and the backward kernel re-walks each tile
+back-to-front with suffix accumulators (the TPU replacement for CUDA's
+atomicAdd gradient scatter is a per-splat plane reduction + the XLA
+gather-transpose outside).
+
+Binning reuses the tiled backend's streaming top-k machinery with
+rectangular (BX x BY) tiles.
+
+Record layout (REC = 24 floats, lane-padded):
+  0:9   c1, c2, c3        (intersection constants)
+  9:12  a3                (tmat w column: intersection depth)
+  12:15 color
+  15:18 normal (view space)
+  18    opacity
+  19:21 filter_center     (screen-space low-pass; no gradient by design)
+  21:24 pad
+
+Output channel layout (OUT_CH = 16):
+  0:3 rgb (alpha-weighted, pre-background)   3 T_final
+  4 expected depth (unnormalized)            5:8 normal
+  8 median depth                             9 distortion
+  10 m1   11 m2   12 last contributor (f32)  13:16 pad
+nondifferentiable aux: channels 10-12 (backward reconstruction only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu2dgs.raster import tiled
+from tpu2dgs.raster.common import (
+    ALPHA_CLAMP,
+    ALPHA_MIN,
+    CUTOFF,
+    DIST_FAR,
+    DIST_NEAR,
+    FILTER_INV_SQUARE,
+    INTERSECT_NEAR,
+    MEDIAN_T,
+    T_EPS,
+)
+from tpu2dgs.raster.preprocess import SplatScreen
+
+REC = 24
+OUT_CH = 16
+BY = 16   # block pixel rows
+BX = 128  # block pixel cols (one lane register row)
+CHUNK = 8  # splats per early-exit check
+
+
+def pack_records(splats: SplatScreen) -> jnp.ndarray:
+    """(N, REC) per-splat record. Differentiable (pure XLA)."""
+    tmat = splats.tmat
+    a1 = tmat[:, :, 0]
+    a2 = tmat[:, :, 1]
+    a3 = tmat[:, :, 2]
+    c1 = -jnp.cross(a3, a2)
+    c2 = -jnp.cross(a1, a3)
+    c3 = jnp.cross(a1, a2)
+    n = tmat.shape[0]
+    return jnp.concatenate(
+        [
+            c1, c2, c3, a3,
+            splats.color,
+            splats.normal,
+            splats.opacity[:, None],
+            lax.stop_gradient(splats.filter_center),
+            jnp.zeros((n, REC - 21), tmat.dtype),
+        ],
+        axis=-1,
+    )
+
+
+def _map_depth(d):
+    safe = jnp.maximum(d, 1e-6)
+    return DIST_FAR * (safe - DIST_NEAR) / ((DIST_FAR - DIST_NEAR) * safe)
+
+
+def _splat_response(r, px, py):
+    """Shared fwd recompute: r = 21 scalars, px/py = (BY,BX) planes.
+
+    Returns (alpha, depthp, hit, G, su, sv, inv, not_clamped)."""
+    pu = px * r[0] + py * r[3] + r[6]
+    pv = px * r[1] + py * r[4] + r[7]
+    pw = px * r[2] + py * r[5] + r[8]
+    valid = pw != 0.0
+    inv = jnp.where(valid, 1.0, 0.0) / jnp.where(valid, pw, 1.0)
+    su = pu * inv
+    sv = pv * inv
+    rho3d = su * su + sv * sv
+    dx = px - r[19]
+    dy = py - r[20]
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.where(use3d, rho3d, rho2d)
+    inside = (rho3d <= CUTOFF * CUTOFF) | (rho2d <= rho3d)
+    depthp = su * r[9] + sv * r[10] + r[11]
+    G = jnp.exp(-0.5 * rho)
+    raw = r[18] * G
+    not_clamped = raw < ALPHA_CLAMP
+    alpha = jnp.minimum(ALPHA_CLAMP, raw)
+    hit = (
+        valid & inside & (depthp >= INTERSECT_NEAR) & (alpha >= ALPHA_MIN)
+    )
+    return alpha, depthp, hit, G, su, sv, inv, not_clamped, use3d
+
+
+def _read_rec(rec_ref, jj):
+    # dynamic-sublane scalar reads (dynamic-lane indexing is not lowerable)
+    return [rec_ref[0, jj, k] for k in range(21)]
+
+
+def _fwd_kernel(counts_ref, rec_ref, out_ref, *, nbx: int, n_chunks: int):
+    i = pl.program_id(0)
+    count = counts_ref[i]
+    x0 = ((i % nbx) * BX).astype(jnp.float32)
+    y0 = ((i // nbx) * BY).astype(jnp.float32)
+    # integer iota then cast: Mosaic rejects float iota
+    px = x0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 1).astype(jnp.float32)
+    py = y0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 0).astype(jnp.float32)
+
+    zeros = jnp.zeros((BY, BX), jnp.float32)
+    state = (
+        jnp.ones((BY, BX), jnp.float32),   # 0 T
+        jnp.ones((BY, BX), jnp.float32),   # 1 alive (1.0 until killed)
+        zeros, zeros, zeros,               # 2:5 rgb
+        zeros,                             # 5 depth
+        zeros, zeros, zeros,               # 6:9 normal
+        zeros,                             # 9 median
+        zeros,                             # 10 m1
+        zeros,                             # 11 m2
+        zeros,                             # 12 dist
+        jnp.full((BY, BX), -1.0),          # 13 last contributor
+    )
+
+    def chunk_body(c, state):
+        j0 = c * CHUNK
+
+        def splat_body(k, state):
+            (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist,
+             last) = state
+            jj = j0 + k
+            r = _read_rec(rec_ref, jj)
+            alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
+                r, px, py)
+            ok = hit & (alive > 0.0) & (jj < count)
+            test_t = T * (1.0 - alpha)
+            kill = ok & (test_t < T_EPS)
+            alive = jnp.where(kill, 0.0, alive)
+            a = jnp.where(ok & ~kill, alpha, 0.0)
+            w = a * T
+            blended = a > 0.0
+
+            med = jnp.where(blended & (T > MEDIAN_T), depthp, med)
+            last = jnp.where(blended, jj.astype(jnp.float32), last)
+
+            m = _map_depth(depthp)
+            dist = dist + w * (m * m * (1.0 - T) + m2 - 2.0 * m * m1)
+            m1 = m1 + w * m
+            m2 = m2 + w * m * m
+
+            return (
+                T * (1.0 - a), alive,
+                r0 + w * r[12], g0 + w * r[13], b0 + w * r[14],
+                dep + w * depthp,
+                n0 + w * r[15], n1 + w * r[16], n2 + w * r[17],
+                med, m1, m2, dist, last,
+            )
+
+        return lax.fori_loop(0, CHUNK, splat_body, state)
+
+    def cond(carry):
+        c, state = carry
+        # continue while splats remain AND any pixel is still alive
+        return (c * CHUNK < count) & (jnp.max(state[1]) > 0.0)
+
+    def body(carry):
+        c, state = carry
+        return c + 1, chunk_body(c, state)
+
+    _, state = lax.while_loop(cond, body, (0, state))
+
+    (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist, last) = state
+    out_ref[0, 0] = r0
+    out_ref[0, 1] = g0
+    out_ref[0, 2] = b0
+    out_ref[0, 3] = T
+    out_ref[0, 4] = dep
+    out_ref[0, 5] = n0
+    out_ref[0, 6] = n1
+    out_ref[0, 7] = n2
+    out_ref[0, 8] = med
+    out_ref[0, 9] = dist
+    out_ref[0, 10] = m1
+    out_ref[0, 11] = m2
+    out_ref[0, 12] = last
+    out_ref[0, 13] = zeros
+    out_ref[0, 14] = zeros
+    out_ref[0, 15] = zeros
+
+
+def _bwd_kernel(counts_ref, rec_ref, out_ref, dout_ref, drec_ref, *,
+                nbx: int, n_chunks: int):
+    i = pl.program_id(0)
+    count = counts_ref[i]
+    x0 = ((i % nbx) * BX).astype(jnp.float32)
+    y0 = ((i // nbx) * BY).astype(jnp.float32)
+    # integer iota then cast: Mosaic rejects float iota
+    px = x0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 1).astype(jnp.float32)
+    py = y0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 0).astype(jnp.float32)
+
+    t_final = out_ref[0, 3]
+    m1_final = out_ref[0, 10]
+    m2_final = out_ref[0, 11]
+    last = out_ref[0, 12]
+
+    d_rgb = (dout_ref[0, 0], dout_ref[0, 1], dout_ref[0, 2])
+    d_t = dout_ref[0, 3]
+    d_dep = dout_ref[0, 4]
+    d_nrm = (dout_ref[0, 5], dout_ref[0, 6], dout_ref[0, 7])
+    d_med = dout_ref[0, 8]
+    d_dist = dout_ref[0, 9]
+
+    dt_term = d_t * t_final  # dL/dT_final * T_final (plane)
+
+    zeros = jnp.zeros((BY, BX), jnp.float32)
+    # carry: T_cur, acc_w, s_w, s_wm, acc_a, med_done, s_wm2 (for M2b)
+    init = (t_final, zeros, zeros, zeros, zeros, zeros, zeros)
+
+    # start from the last chunk that contains any contributor
+    max_last = jnp.max(last).astype(jnp.int32)
+    start_chunk = jnp.where(
+        max_last < 0, 0, (max_last // CHUNK) + 1
+    )
+
+    def chunk_body(c, carry):
+        j0 = c * CHUNK
+
+        def splat_body(kk, carry):
+            k = CHUNK - 1 - kk
+            jj = j0 + k
+            (T_cur, acc_w, s_w, s_wm, acc_a, med_done, s_wm2) = carry
+            r = _read_rec(rec_ref, jj)
+            alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
+                r, px, py)
+            fj = jj.astype(jnp.float32)
+            blended = hit & (fj <= last) & (jj < count)
+            a = jnp.where(blended, alpha, 0.0)
+            t_before = jnp.where(blended, T_cur / (1.0 - a), T_cur)
+            w = a * t_before
+
+            m = _map_depth(depthp)
+            wm = w * m
+            wm2 = wm * m
+            m1b = m1_final - s_wm - wm
+            m2b = m2_final - s_wm2 - wm2
+            a_before = 1.0 - t_before
+
+            dldw = (
+                d_rgb[0] * r[12] + d_rgb[1] * r[13] + d_rgb[2] * r[14]
+                + d_dep * depthp
+                + d_nrm[0] * r[15] + d_nrm[1] * r[16] + d_nrm[2] * r[17]
+                + d_dist * (
+                    m * m * a_before + m2b - 2.0 * m * m1b
+                    + m * m * s_w - 2.0 * m * s_wm
+                )
+            )
+
+            # median: first blended splat (back-to-front) with T_before > 0.5
+            is_med = blended & (t_before > MEDIAN_T) & (med_done == 0.0)
+            med_done = jnp.where(is_med, 1.0, med_done)
+
+            d_m = d_dist * (
+                w * (2.0 * m * a_before - 2.0 * m1b)
+                + w * (2.0 * m * s_w - 2.0 * s_wm)
+            )
+            dm_dd = (DIST_FAR * DIST_NEAR / (DIST_FAR - DIST_NEAR)) / (
+                jnp.maximum(depthp, 1e-6) ** 2
+            )
+            d_d = d_dep * w + d_m * dm_dd + jnp.where(is_med, d_med, 0.0)
+
+            one_minus = jnp.maximum(1.0 - a, 1.0 - ALPHA_CLAMP)
+            d_a = jnp.where(
+                blended,
+                dldw * t_before + (acc_a - acc_w - dt_term) / one_minus,
+                0.0,
+            )
+
+            # update suffix accumulators (include j)
+            acc_w = acc_w + dldw * w
+            acc_a = acc_a + d_dist * w * m * m * t_before
+            s_w = s_w + w
+            s_wm = s_wm + wm
+            s_wm2 = s_wm2 + wm2
+
+            # alpha -> opacity, rho -> geometry
+            d_op_plane = jnp.where(nc, G * d_a, 0.0)
+            d_rho = jnp.where(nc, -0.5 * r[18] * G * d_a, 0.0)
+            d_rho3d = jnp.where(u3, d_rho, 0.0)  # rho2d path: no grads
+            d_su = 2.0 * su * d_rho3d + r[9] * d_d
+            d_sv = 2.0 * sv * d_rho3d + r[10] * d_d
+            gate = blended  # only blended splats receive gradients
+            d_su = jnp.where(gate, d_su, 0.0)
+            d_sv = jnp.where(gate, d_sv, 0.0)
+            d_d_g = jnp.where(gate, d_d, 0.0)
+            d_pu = d_su * inv
+            d_pv = d_sv * inv
+            d_pw = -(su * d_su + sv * d_sv) * inv
+
+            # p = x*c1 + y*c2 + c3 per component (u, v, w).
+            # Gradients materialize as one (1, REC) row stored at dynamic
+            # SUBLANE jj (scalar/dynamic-lane VMEM stores don't lower).
+            def red(x):
+                return jnp.sum(x)
+
+            w_gated = jnp.where(gate, w, 0.0)
+            row = jnp.stack([
+                red(px * d_pu), red(px * d_pv), red(px * d_pw),
+                red(py * d_pu), red(py * d_pv), red(py * d_pw),
+                red(d_pu), red(d_pv), red(d_pw),
+                red(su * d_d_g), red(sv * d_d_g), red(d_d_g),
+                red(w_gated * d_rgb[0]), red(w_gated * d_rgb[1]),
+                red(w_gated * d_rgb[2]),
+                red(w_gated * d_nrm[0]), red(w_gated * d_nrm[1]),
+                red(w_gated * d_nrm[2]),
+                red(d_op_plane),
+                jnp.float32(0.0), jnp.float32(0.0),  # filter_center: no grad
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+            ]).reshape(1, REC)
+            drec_ref[0, pl.ds(jj, 1), :] = row
+
+            return (t_before, acc_w, s_w, s_wm, acc_a, med_done, s_wm2)
+
+        return lax.fori_loop(0, CHUNK, splat_body, carry)
+
+    # zero the full gradient block first (rows beyond count stay zero)
+    drec_ref[0] = jnp.zeros(drec_ref.shape[1:], jnp.float32)
+
+    def cond(carry):
+        c, _ = carry
+        return c >= 0
+
+    def body(carry):
+        c, acc = carry
+        return c - 1, chunk_body(c, acc)
+
+    lax.while_loop(cond, body, (start_chunk - 1, init))
+
+
+class PallasMaps(NamedTuple):
+    rgb: jnp.ndarray        # (H, W, 3) pre-background
+    t_final: jnp.ndarray    # (H, W)
+    depth: jnp.ndarray      # (H, W) unnormalized expected depth
+    normal: jnp.ndarray     # (H, W, 3)
+    median: jnp.ndarray     # (H, W)
+    distortion: jnp.ndarray  # (H, W)
+
+
+def _blend_call(rec3, counts, *, nbx, nty, interpret):
+    t, c, _ = rec3.shape
+    n_chunks = -(-c // CHUNK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_CH, BY, BX),
+                               lambda i, counts: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, nbx=nbx, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
+        interpret=interpret,
+    )(counts, rec3)
+
+
+def _blend_bwd_call(rec3, counts, out, dout, *, nbx, interpret):
+    t, c, _ = rec3.shape
+    n_chunks = -(-c // CHUNK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, nbx=nbx, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, c, REC), jnp.float32),
+        interpret=interpret,
+    )(counts, rec3, out, dout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blend_tiles(rec3, counts, nbx, nty, interpret):
+    """rec3 (T, C, REC), counts (T,) -> out (T, OUT_CH, BY, BX)."""
+    return _blend_call(rec3, counts, nbx=nbx, nty=nty, interpret=interpret)
+
+
+def _blend_fwd(rec3, counts, nbx, nty, interpret):
+    out = _blend_call(rec3, counts, nbx=nbx, nty=nty, interpret=interpret)
+    return out, (rec3, counts, out)
+
+
+def _blend_bwd(nbx, nty, interpret, res, dout):
+    rec3, counts, out = res
+    drec = _blend_bwd_call(rec3, counts, out, dout, nbx=nbx,
+                           interpret=interpret)
+    return drec, None
+
+
+blend_tiles.defvjp(_blend_fwd, _blend_bwd)
+
+
+def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
+                     interpret: bool = False):
+    """Drop-in fast backend: same (image, allmap) contract as the others."""
+    w, h = settings.width, settings.height
+    n = splats.tmat.shape[0]
+    big = n + 1
+
+    nbx = -(-w // BX)
+    nty = -(-h // BY)
+    t = nbx * nty
+
+    order = jnp.argsort(splats.depth).astype(jnp.int32)
+    rank = jnp.argsort(order).astype(jnp.int32)
+    rank_key = jnp.where(splats.visible, rank, big)
+
+    cap = min(settings.tile_capacity, tiled._pow2_at_least(max(n, 8)))
+    bin_cap = min(settings.bin_capacity, tiled._pow2_at_least(max(n, 8)))
+
+    tile_ids, tile_valid, counts = _bin_rect(
+        splats, order, rank_key, big, nbx, nty, bin_cap, cap)
+
+    rec = pack_records(splats)                  # (N, REC) differentiable
+    rec3 = rec[tile_ids]                        # (T, C, REC)
+    counts = counts.astype(jnp.int32)
+
+    out = blend_tiles(rec3, counts, nbx, nty, interpret)
+
+    def untile(ch):
+        a = out[:, ch].reshape(nty, nbx, BY, BX)
+        return jnp.moveaxis(a, 1, 2).reshape(nty * BY, nbx * BX)[:h, :w]
+
+    t_final = untile(3)
+    image = jnp.stack([untile(0), untile(1), untile(2)], axis=-1)
+    image = image + t_final[..., None] * bg_color[None, None, :]
+    allmap = {
+        "depth_expected": untile(4),
+        "alpha": 1.0 - t_final,
+        "normal": jnp.stack([untile(5), untile(6), untile(7)], axis=-1),
+        "depth_median": untile(8),
+        "distortion": untile(9),
+    }
+    return image, allmap
+
+
+def _bin_rect(splats, order, rank_key, big, nbx, nty, bin_cap, cap):
+    """Rectangular-tile binning: coarse bins = 4 tile rows x 1 tile col."""
+    cby = 4  # coarse bin = (BX, 4*BY) px
+    nby_c = -(-nty // cby)
+
+    x0, x1, y0, y1 = tiled._aabb(splats)
+    n = rank_key.shape[0]
+
+    # coarse: stream top-k per (nby_c * nbx) bin
+    nb = nby_c * nbx
+    bix = jnp.arange(nb, dtype=jnp.float32) % nbx
+    biy = jnp.arange(nb, dtype=jnp.float32) // nbx
+    bx0 = (bix * BX)[:, None]
+    bx1 = (bix * BX + (BX - 1))[:, None]
+    by0 = (biy * (BY * cby))[:, None]
+    by1 = (biy * (BY * cby) + (BY * cby - 1))[:, None]
+
+    chunk = 32768
+    pad = (-n) % chunk
+
+    def padded(a, fill):
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
+
+    steps = (n + pad) // chunk
+    xs = (
+        padded(rank_key, big).reshape(steps, chunk),
+        padded(x0, 1e9).reshape(steps, chunk),
+        padded(x1, -1e9).reshape(steps, chunk),
+        padded(y0, 1e9).reshape(steps, chunk),
+        padded(y1, -1e9).reshape(steps, chunk),
+    )
+
+    def step(best, inp):
+        rk, cx0, cx1, cy0, cy1 = inp
+        hit = tiled._overlaps(cx0[None], cx1[None], cy0[None], cy1[None],
+                              bx0, bx1, by0, by1)
+        keys = jnp.where(hit, rk[None, :], big)
+        merged = jnp.concatenate([best, keys], axis=1)
+        return tiled._smallest_k(merged, bin_cap), None
+
+    init = jnp.full((nb, bin_cap), big, jnp.int32)
+    coarse, _ = lax.scan(step, init, xs)
+
+    # fine: per tile from its coarse bin's candidates
+    cand_id = order[jnp.minimum(coarse, n - 1)]
+    cand_ok = coarse < big
+    cx0 = jnp.where(cand_ok, x0[cand_id], 1e9)
+    cx1 = jnp.where(cand_ok, x1[cand_id], -1e9)
+    cy0 = jnp.where(cand_ok, y0[cand_id], 1e9)
+    cy1 = jnp.where(cand_ok, y1[cand_id], -1e9)
+
+    t = nty * nbx
+    tix = jnp.arange(t, dtype=jnp.int32) % nbx
+    tiy = jnp.arange(t, dtype=jnp.int32) // nbx
+    bin_of_tile = (tiy // cby) * nbx + tix
+
+    tx0 = (tix * BX).astype(jnp.float32)[:, None]
+    tx1 = tx0 + (BX - 1)
+    ty0 = (tiy * BY).astype(jnp.float32)[:, None]
+    ty1 = ty0 + (BY - 1)
+    hit = tiled._overlaps(
+        cx0[bin_of_tile], cx1[bin_of_tile], cy0[bin_of_tile],
+        cy1[bin_of_tile], tx0, tx1, ty0, ty1,
+    )
+    keys = jnp.where(hit, coarse[bin_of_tile], big)
+    tile_ranks = tiled._smallest_k(keys, cap)
+    tile_valid = tile_ranks < big
+    tile_ids = order[jnp.minimum(tile_ranks, n - 1)]
+    counts = jnp.sum(tile_valid, axis=1, dtype=jnp.int32)
+    return tile_ids, tile_valid, counts
