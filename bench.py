@@ -25,17 +25,21 @@ BASELINE_MPIX_S = 16.0
 
 
 def build():
+    import tpu2dgs
     from tpu2dgs.core import cameras
     from tpu2dgs.raster.api import RasterSettings, render
     from tpu2dgs.train import losses
 
+    tpu2dgs.enable_compilation_cache()
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     w = h = 256 if small else 800
     n = 1 << (14 if small else 17)
 
     settings = RasterSettings(
-        width=w, height=h, sh_degree=3, backend="tiled",
-        bin_capacity=4096, tile_capacity=512,
+        width=w, height=h, sh_degree=3, backend=backend,
+        bin_capacity=8192 if backend == "pallas" else 4096,
+        tile_capacity=2048 if backend == "pallas" else 512,
     )
     cam = cameras.Camera(
         uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),

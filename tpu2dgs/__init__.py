@@ -21,3 +21,19 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Point JAX at a persistent compilation cache. The fused Pallas
+    fwd+bwd programs take minutes to compile cold on TPU; cached reloads are
+    seconds. Called by the CLIs and bench.py."""
+    import os
+
+    import jax
+
+    cache = path or os.environ.get(
+        "TPU2DGS_CACHE", os.path.expanduser("~/.cache/tpu2dgs_jax")
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

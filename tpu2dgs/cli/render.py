@@ -56,6 +56,9 @@ def latest_iteration(model_path: str) -> int:
 
 
 def main(argv=None):
+    import tpu2dgs
+
+    tpu2dgs.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -131,6 +134,21 @@ def main(argv=None):
         export_set(scene.train_cameras, "train")
     if not args.skip_test and scene.test_cameras:
         export_set(scene.test_cameras, "test")
+
+    if args.render_path:
+        from tpu2dgs.data.paths import create_videos, generate_path, save_img_u8
+
+        traj_dir = os.path.join(model_p.model_path, "traj", f"ours_{it}")
+        os.makedirs(traj_dir, exist_ok=True)
+        cam_traj = generate_path(scene.train_cameras, n_frames=240)
+        for i, cam in enumerate(cam_traj):
+            out = render_fn(cam)
+            save_img_u8(np.asarray(out["render"]).transpose(1, 2, 0),
+                        os.path.join(traj_dir, f"{i:05d}.png"))
+        create_videos(traj_dir,
+                      os.path.join(model_p.model_path,
+                                   f"traj_{it}.mp4"))
+        print(f"render path saved at {traj_dir}")
 
     if not args.skip_mesh:
         ex = GaussianExtractor(render_fn)

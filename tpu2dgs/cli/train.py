@@ -59,6 +59,9 @@ def main(argv=None):
 
 
 def run_training(model_p, opt_p, pipe_p, raster_p, args):
+    import tpu2dgs
+
+    tpu2dgs.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -124,12 +127,27 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         )
         adam = None
 
+    from tpu2dgs.train.logging import TrainLogger
+
+    logger = TrainLogger(model_p.model_path)
+
+    def log_fn(it, metrics):
+        if it % 10 == 0:
+            logger.scalars(it, {
+                "train_loss_patches/total_loss": metrics["loss"],
+                "train_loss_patches/l1_loss": metrics["l1"],
+                "train_loss_patches/normal_loss": metrics["normal"],
+                "train_loss_patches/dist_loss": metrics["dist"],
+                "num_visible": metrics["num_visible"],
+            })
+
     trainer = Trainer(
         model, scene.train_cameras, w, h,
         spatial_lr_scale=scene.extent, scene_extent=scene.extent,
         train_cfg=train_cfg, opt_cfg=opt_cfg, raster_kwargs=raster_kwargs,
         white_background=model_p.white_background,
         max_sh_degree=model_p.sh_degree, seed=args.seed,
+        log_fn=log_fn,
     )
     if args.start_checkpoint and adam is not None:
         trainer.adam = adam
@@ -157,10 +175,15 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
 
         if it in test_set and scene.test_cameras:
             vals = []
-            for cam in scene.test_cameras[: min(8, len(scene.test_cameras))]:
+            for j, cam in enumerate(
+                scene.test_cameras[: min(8, len(scene.test_cameras))]
+            ):
                 out = trainer.render_view(cam)
                 vals.append(float(losses.psnr(
                     jnp.clip(out["render"], 0, 1), jnp.asarray(cam.image))))
+                if j == 0:
+                    logger.images(it, logger.render_panels(out))
+            logger.scalars(it, {"test/psnr": float(np.mean(vals))})
             print(f"[ITER {it}] eval PSNR {np.mean(vals):.2f} "
                   f"({len(vals)} views)")
         if it in save_set:
