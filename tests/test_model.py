@@ -215,3 +215,21 @@ def test_grow_capacity_preserves_state():
     assert np.all(np.asarray(big_adam.nu.xyz)[8:] == 0.0)
     # padded rotation rows keep valid quaternions
     assert np.all(np.asarray(big_model.params.rotation)[8:, 0] == 1.0)
+
+
+def test_native_knn_close_to_exact():
+    from tpu2dgs import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no g++ toolchain")
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(5000, 3)).astype(np.float32)
+    approx = native.knn_mean_dist2(pts, window=24)
+    exact = np.asarray(mean_dist2_to_3nn(jnp.asarray(pts)))
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-12)
+    # Morton-window KNN is approximate; scale init only needs log-accuracy
+    assert np.median(rel) < 0.02, np.median(rel)
+    assert np.mean(rel < 0.5) > 0.95, np.mean(rel < 0.5)
+    assert np.all(approx >= exact - 1e-6)  # never underestimates

@@ -91,6 +91,20 @@ def empty_model(capacity: int, sh_degree: int = 3) -> SplatModel:
     )
 
 
+def _knn_dist2(points_np, pts_jnp) -> jnp.ndarray:
+    """Init-scale 3-NN distances: native Morton KNN for big clouds (COLMAP
+    reaches millions of points where the exact O(N^2) sweep is infeasible),
+    exact blocked jnp otherwise."""
+    n = pts_jnp.shape[0]
+    if n > 65536:
+        from tpu2dgs import native
+
+        if native.available():
+            return jnp.asarray(
+                native.knn_mean_dist2(np.asarray(points_np, np.float32)))
+    return mean_dist2_to_3nn(pts_jnp)
+
+
 def create_from_pcd(
     points: np.ndarray,       # (N,3)
     colors: np.ndarray,       # (N,3) RGB in [0,1]
@@ -105,7 +119,7 @@ def create_from_pcd(
     model = empty_model(cap, sh_degree)
 
     pts = jnp.asarray(points, jnp.float32)
-    dist2 = jnp.clip(mean_dist2_to_3nn(pts), 1e-7, None)
+    dist2 = jnp.clip(_knn_dist2(points, pts), 1e-7, None)
     log_scale = jnp.log(jnp.sqrt(dist2))  # (N,)
 
     p = model.params
