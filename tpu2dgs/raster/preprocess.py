@@ -95,13 +95,21 @@ def preprocess(
     scale_modifier: float = 1.0,
     live: jnp.ndarray | None = None,           # (N,) bool mask for padded slots
     override_color: jnp.ndarray | None = None,  # (N,3)
+    axes_override=None,  # (tu, tv, tw) each (N,3): the reference's
+                         # cov3D_precomp path (precomputed splat2world basis,
+                         # gaussian_renderer/__init__.py:60-75)
 ) -> SplatScreen:
     n = xyz.shape[0]
     f32 = jnp.float32
     if mean2d_offset is None:
         mean2d_offset = jnp.zeros((n, 2), f32)
 
-    tu, tv, tw = transforms.splat_axes(scaling * scale_modifier, rotation)
+    if axes_override is not None:
+        tu, tv, tw = axes_override
+        tu = tu * scale_modifier
+        tv = tv * scale_modifier
+    else:
+        tu, tv, tw = transforms.splat_axes(scaling * scale_modifier, rotation)
 
     world2pix = cam.full_proj @ ndc_to_pix(width, height, cam.znear, cam.zfar)
     wp = world2pix[:, jnp.array([0, 1, 3])]  # (4,3): world -> (xw, yw, w)

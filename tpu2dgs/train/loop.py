@@ -58,6 +58,7 @@ class TrainConfig:
     opacity_cull: float = 0.05
     random_background: bool = False
     grow_watermark: float = 0.9   # grow capacity when live/capacity exceeds
+    camera_batch: int = 1         # views per step (batched SGD; TPU-native)
 
 
 def make_train_step(
@@ -66,17 +67,44 @@ def make_train_step(
     lambda_dssim: float,
     spatial_lr_scale: float,
     mesh=None,
+    camera_batch: int = 1,
 ) -> Callable:
     """Returns jitted step(model, adam, cam, gt, bg, step, lam_normal,
     lam_dist) -> (model, adam, metrics).
 
     With `mesh`, rasterization is tile-row sharded across the mesh's "rows"
     axis and splat-parameter gradients are psum'd by the shard_map transpose
-    (tpu2dgs/parallel/sharded.py)."""
+    (tpu2dgs/parallel/sharded.py).
+
+    With `camera_batch` > 1, `cam` leaves and `gt` carry a leading batch dim
+    and the loss is the mean over views (the reference is strictly one
+    camera per step, train.py:65-67; batching is the TPU-natural way to fill
+    the chip — gradients are averaged, densification stats accumulate the
+    batch-mean screen gradient per splat)."""
 
     half = jnp.array(
         [settings.width * 0.5, settings.height * 0.5], jnp.float32
     )
+
+    def per_view_loss(params, offset, live, cam, gt, bg, lam_normal, lam_dist):
+        out = render(
+            cam, settings,
+            params.xyz,
+            jnp.exp(params.scaling),
+            params.rotation,
+            jax.nn.sigmoid(params.opacity[:, 0]),
+            splats_lib.features(params),
+            bg,
+            mean2d_offset=offset,
+            live=live,
+            mesh=mesh,
+        )
+        photo, ll1 = losses.photometric_loss(out["render"], gt, lambda_dssim)
+        ln = losses.normal_consistency_loss(
+            out["rend_normal"], out["surf_normal"])
+        ld = losses.distortion_loss(out["rend_dist"])
+        total = photo + lam_normal * ln + lam_dist * ld
+        return total, (out["radii"], ll1, ln, ld)
 
     @jax.jit
     def step_fn(model, adam, cam, gt, bg, step, lam_normal, lam_dist):
@@ -84,24 +112,18 @@ def make_train_step(
         zeros_off = jnp.zeros((model.capacity, 2), jnp.float32)
 
         def loss_fn(params, offset):
-            out = render(
-                cam, settings,
-                params.xyz,
-                jnp.exp(params.scaling),
-                params.rotation,
-                jax.nn.sigmoid(params.opacity[:, 0]),
-                splats_lib.features(params),
-                bg,
-                mean2d_offset=offset,
-                live=model.live,
-                mesh=mesh,
+            if camera_batch == 1:
+                return per_view_loss(params, offset, model.live, cam, gt, bg,
+                                     lam_normal, lam_dist)
+            totals, (radii, ll1, ln, ld) = jax.vmap(
+                per_view_loss,
+                in_axes=(None, None, None, 0, 0, None, None, None),
+            )(params, offset, model.live, cam, gt, bg, lam_normal, lam_dist)
+            # max radius over the batch drives visibility/densify stats
+            return jnp.mean(totals), (
+                jnp.max(radii, axis=0), jnp.mean(ll1), jnp.mean(ln),
+                jnp.mean(ld),
             )
-            photo, ll1 = losses.photometric_loss(out["render"], gt, lambda_dssim)
-            ln = losses.normal_consistency_loss(
-                out["rend_normal"], out["surf_normal"])
-            ld = losses.distortion_loss(out["rend_dist"])
-            total = photo + lam_normal * ln + lam_dist * ld
-            return total, (out["radii"], ll1, ln, ld)
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (radii, ll1, ln, ld)), (gparams, goffset) = grad_fn(p, zeros_off)
@@ -213,7 +235,7 @@ class Trainer:
         if key not in self._step_fns:
             self._step_fns[key] = make_train_step(
                 self._settings(), self.opt_cfg, self.cfg.lambda_dssim,
-                self.spatial_lr_scale,
+                self.spatial_lr_scale, camera_batch=self.cfg.camera_batch,
             )
         return self._step_fns[key]
 
@@ -243,8 +265,18 @@ class Trainer:
             ):
                 self.active_sh_degree += 1
 
-            cam = self._next_camera()
-            gt = jnp.asarray(cam.image, jnp.float32)
+            if cfg.camera_batch == 1:
+                cam = self._next_camera()
+                cam_arrays = cam.arrays()
+                gt = jnp.asarray(cam.image, jnp.float32)
+            else:
+                cams = [self._next_camera() for _ in range(cfg.camera_batch)]
+                cam_arrays = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[c.arrays() for c in cams]
+                )
+                gt = jnp.stack(
+                    [jnp.asarray(c.image, jnp.float32) for c in cams]
+                )
             bg = (
                 jax.random.uniform(self._split_key(), (3,))
                 if cfg.random_background else self.bg
@@ -256,7 +288,7 @@ class Trainer:
 
             step_fn = self._get_step_fn()
             self.model, self.adam, metrics = step_fn(
-                self.model, self.adam, cam.arrays(), gt, bg,
+                self.model, self.adam, cam_arrays, gt, bg,
                 jnp.float32(it), lam_n, lam_d,
             )
 
