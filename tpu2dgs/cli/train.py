@@ -151,6 +151,17 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         max_sh_degree=model_p.sh_degree, seed=args.seed,
         log_fn=log_fn,
     )
+    if not args.disable_viewer:
+        from tpu2dgs.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.ip, args.port)
+        try:
+            gui.init()
+            trainer.gui = gui
+            trainer.source_path = model_p.source_path
+        except OSError as e:
+            print(f"viewer server unavailable ({e}); continuing without")
+
     if args.start_checkpoint and adam is not None:
         trainer.adam = adam
         trainer.step = start_step

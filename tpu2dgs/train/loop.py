@@ -221,6 +221,8 @@ class Trainer:
             jnp.ones(3, jnp.float32) if white_background
             else jnp.zeros(3, jnp.float32)
         )
+        self.gui = None            # optional viewer.network_gui.NetworkGUI
+        self.source_path = ""      # verify string sent to the viewer
 
     # -- helpers -----------------------------------------------------------
 
@@ -320,6 +322,8 @@ class Trainer:
                 self.log_fn(it, metrics)
             loss_val = float(metrics["loss"])
             self.ema_loss = 0.4 * loss_val + 0.6 * self.ema_loss
+            if self.gui is not None:
+                self._poll_gui(it, end)
             if progress and it % 200 == 0:
                 dt = time.perf_counter() - t0
                 print(
@@ -329,6 +333,54 @@ class Trainer:
                     flush=True,
                 )
         return self.model
+
+    def _poll_gui(self, it: int, end: int) -> None:
+        """Serve pending viewer requests mid-training (reference
+        train.py:146-168: render the custom camera, send the frame, break
+        back to training when the client allows)."""
+        import numpy as np2
+
+        from tpu2dgs.raster.api import render as render_op
+        from tpu2dgs.viewer.modes import render_net_image
+        from tpu2dgs.viewer.network_gui import image_to_bytes
+
+        import select
+
+        gui = self.gui
+        if gui.conn is None:
+            gui.try_connect()
+        while gui.conn is not None:
+            try:
+                # don't let an idle client stall training: only read when a
+                # request is already pending (the reference blocks here,
+                # relying on the client to keep sending)
+                readable, _, _ = select.select([gui.conn], [], [], 0.0)
+                if not readable:
+                    break
+                cam, (w, h), do_training, keep_alive, sm, mode = gui.receive()
+                image_bytes = None
+                if cam is not None:
+                    settings = RasterSettings(
+                        width=w, height=h, sh_degree=self.active_sh_degree,
+                        scale_modifier=float(sm), **self.raster_kwargs,
+                    )
+                    p = self.model.params
+                    pkg = render_op(
+                        cam, settings, p.xyz, jnp.exp(p.scaling), p.rotation,
+                        jax.nn.sigmoid(p.opacity[:, 0]),
+                        splats_lib.features(p), self.bg, live=self.model.live,
+                    )
+                    net_image = render_net_image(
+                        pkg, ["RGB", "Alpha", "Normal", "Depth", "Edge",
+                              "Curvature"], mode)
+                    image_bytes = image_to_bytes(np2.asarray(net_image))
+                gui.send(image_bytes, self.source_path,
+                         {"#": int(self.model.num_live()),
+                          "loss": self.ema_loss})
+                if do_training and (it < end or not keep_alive):
+                    break
+            except (ConnectionError, OSError):
+                gui.disconnect()
 
     # -- rendering for eval -------------------------------------------------
 
