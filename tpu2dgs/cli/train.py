@@ -149,7 +149,7 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         train_cfg=train_cfg, opt_cfg=opt_cfg, raster_kwargs=raster_kwargs,
         white_background=model_p.white_background,
         max_sh_degree=model_p.sh_degree, seed=args.seed,
-        log_fn=log_fn,
+        log_fn=log_fn, max_capacity=args.max_capacity,
     )
     if not args.disable_viewer:
         from tpu2dgs.viewer.network_gui import NetworkGUI

@@ -105,7 +105,11 @@ def render(
     else:
         raise ValueError(f"unknown raster backend {settings.backend!r}")
 
-    return decode_outputs(cam, settings, splats, image, allmap)
+    aux = {k: allmap.pop(k) for k in list(allmap) if k.startswith("_aux_")}
+    out = decode_outputs(cam, settings, splats, image, allmap)
+    for k, v in aux.items():
+        out[k.removeprefix("_aux_")] = v
+    return out
 
 
 def mark_visible(xyz: jnp.ndarray, cam: CameraArrays,

@@ -227,7 +227,7 @@ def _fwd_kernel(counts_ref, rec_ref, out_ref, *, nbx: int, n_chunks: int):
     out_ref[0, 15] = zeros
 
 
-def _bwd_kernel(counts_ref, rec_ref, out_ref, dout_ref, drec_ref, *,
+def _bwd_kernel(counts_ref, rec_ref, out_ref, dout_ref, drec_ref, scratch, *,
                 nbx: int, n_chunks: int):
     i = pl.program_id(0)
     count = counts_ref[i]
@@ -336,26 +336,25 @@ def _bwd_kernel(counts_ref, rec_ref, out_ref, dout_ref, drec_ref, *,
             d_pw = -(su * d_su + sv * d_sv) * inv
 
             # p = x*c1 + y*c2 + c3 per component (u, v, w).
-            # Gradients materialize as one (1, REC) row stored at dynamic
-            # SUBLANE jj (scalar/dynamic-lane VMEM stores don't lower).
-            def red(x):
-                return jnp.sum(x)
-
+            # Gradients materialize via two-stage reduction: sublane-reduce
+            # each contribution plane to a (1, BX) row in scratch (static
+            # sublane writes), then one lane reduction + transpose yields
+            # the (1, REC) row stored at dynamic sublane jj (scalar and
+            # dynamic-lane VMEM stores don't lower).
             w_gated = jnp.where(gate, w, 0.0)
-            row = jnp.stack([
-                red(px * d_pu), red(px * d_pv), red(px * d_pw),
-                red(py * d_pu), red(py * d_pv), red(py * d_pw),
-                red(d_pu), red(d_pv), red(d_pw),
-                red(su * d_d_g), red(sv * d_d_g), red(d_d_g),
-                red(w_gated * d_rgb[0]), red(w_gated * d_rgb[1]),
-                red(w_gated * d_rgb[2]),
-                red(w_gated * d_nrm[0]), red(w_gated * d_nrm[1]),
-                red(w_gated * d_nrm[2]),
-                red(d_op_plane),
-                jnp.float32(0.0), jnp.float32(0.0),  # filter_center: no grad
-                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-            ]).reshape(1, REC)
-            drec_ref[0, pl.ds(jj, 1), :] = row
+            partials = [
+                px * d_pu, px * d_pv, px * d_pw,
+                py * d_pu, py * d_pv, py * d_pw,
+                d_pu, d_pv, d_pw,
+                su * d_d_g, sv * d_d_g, d_d_g,
+                w_gated * d_rgb[0], w_gated * d_rgb[1], w_gated * d_rgb[2],
+                w_gated * d_nrm[0], w_gated * d_nrm[1], w_gated * d_nrm[2],
+                d_op_plane,
+            ]
+            for k, plane in enumerate(partials):
+                scratch[k:k + 1, :] = jnp.sum(plane, axis=0, keepdims=True)
+            col = jnp.sum(scratch[:, :], axis=1, keepdims=True)  # (REC, 1)
+            drec_ref[0, pl.ds(jj, 1), :] = col.reshape(1, REC)
 
             return (t_before, acc_w, s_w, s_wm, acc_a, med_done, s_wm2)
 
@@ -363,6 +362,7 @@ def _bwd_kernel(counts_ref, rec_ref, out_ref, dout_ref, drec_ref, *,
 
     # zero the full gradient block first (rows beyond count stay zero)
     drec_ref[0] = jnp.zeros(drec_ref.shape[1:], jnp.float32)
+    scratch[:, :] = jnp.zeros((REC, BX), jnp.float32)  # rows 19..23 stay 0
 
     def cond(carry):
         c, _ = carry
@@ -422,6 +422,7 @@ def _blend_bwd_call(rec3, counts, out, dout, *, nbx, interpret):
         ],
         out_specs=pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((REC, BX), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, nbx=nbx, n_chunks=n_chunks),
@@ -491,6 +492,9 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         "normal": jnp.stack([untile(5), untile(6), untile(7)], axis=-1),
         "depth_median": untile(8),
         "distortion": untile(9),
+        # diagnostics (scalar, popped by api.render into the out dict):
+        # fraction of tiles whose splat list hit capacity (truncated tail)
+        "_aux_tile_overflow_frac": jnp.mean((counts >= cap).astype(jnp.float32)),
     }
     return image, allmap
 
@@ -534,10 +538,10 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap):
     coarse_k = -neg
     coarse_i = coarse_i.astype(jnp.int32)
 
-    # fine: per tile from its coarse bin's candidates
+    # fine: per tile from its coarse bin's candidates. Bins are exactly one
+    # tile-column wide, so the x-overlap is already established by the
+    # coarse pass — only the y test matters here.
     cand_ok = jnp.isfinite(coarse_k)
-    cx0 = jnp.where(cand_ok, x0[coarse_i], 1e9)
-    cx1 = jnp.where(cand_ok, x1[coarse_i], -1e9)
     cy0 = jnp.where(cand_ok, y0[coarse_i], 1e9)
     cy1 = jnp.where(cand_ok, y1[coarse_i], -1e9)
 
@@ -546,14 +550,9 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap):
     tiy = jnp.arange(t, dtype=jnp.int32) // nbx
     bin_of_tile = (tiy // cby) * nbx + tix
 
-    tx0 = (tix * BX).astype(jnp.float32)[:, None]
-    tx1 = tx0 + (BX - 1)
     ty0 = (tiy * BY).astype(jnp.float32)[:, None]
     ty1 = ty0 + (BY - 1)
-    hit = tiled._overlaps(
-        cx0[bin_of_tile], cx1[bin_of_tile], cy0[bin_of_tile],
-        cy1[bin_of_tile], tx0, tx1, ty0, ty1,
-    )
+    hit = (cy0[bin_of_tile] <= ty1) & (cy1[bin_of_tile] >= ty0)
     keys = jnp.where(hit, coarse_k[bin_of_tile], inf)
     tile_keys, tile_ids = _smallest_k_pairs(keys, coarse_i[bin_of_tile], cap)
     tile_valid = jnp.isfinite(tile_keys)

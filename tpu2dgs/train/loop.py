@@ -26,6 +26,7 @@ import time
 from typing import Any, Callable, Optional
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,7 +105,9 @@ def make_train_step(
             out["rend_normal"], out["surf_normal"])
         ld = losses.distortion_loss(out["rend_dist"])
         total = photo + lam_normal * ln + lam_dist * ld
-        return total, (out["radii"], ll1, ln, ld)
+        overflow = lax.stop_gradient(
+            out.get("tile_overflow_frac", jnp.float32(0.0)))
+        return total, (out["radii"], ll1, ln, ld, overflow)
 
     @jax.jit
     def step_fn(model, adam, cam, gt, bg, step, lam_normal, lam_dist):
@@ -115,18 +118,19 @@ def make_train_step(
             if camera_batch == 1:
                 return per_view_loss(params, offset, model.live, cam, gt, bg,
                                      lam_normal, lam_dist)
-            totals, (radii, ll1, ln, ld) = jax.vmap(
+            totals, (radii, ll1, ln, ld, ovf) = jax.vmap(
                 per_view_loss,
                 in_axes=(None, None, None, 0, 0, None, None, None),
             )(params, offset, model.live, cam, gt, bg, lam_normal, lam_dist)
             # max radius over the batch drives visibility/densify stats
             return jnp.mean(totals), (
                 jnp.max(radii, axis=0), jnp.mean(ll1), jnp.mean(ln),
-                jnp.mean(ld),
+                jnp.mean(ld), jnp.mean(ovf),
             )
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-        (loss, (radii, ll1, ln, ld)), (gparams, goffset) = grad_fn(p, zeros_off)
+        (loss, (radii, ll1, ln, ld, overflow)), (gparams, goffset) = grad_fn(
+            p, zeros_off)
 
         lrs = optim_lib.learning_rates(opt_cfg, step, spatial_lr_scale)
         new_params, new_adam = optim_lib.adam_step(
@@ -138,6 +142,7 @@ def make_train_step(
         metrics = {
             "loss": loss, "l1": ll1, "normal": ln, "dist": ld,
             "num_visible": jnp.sum(radii > 0),
+            "tile_overflow_frac": overflow,
         }
         return model, adam, metrics
 
@@ -190,8 +195,10 @@ class Trainer:
         max_sh_degree: int = 3,
         seed: int = 0,
         log_fn: Optional[Callable[[int, dict], None]] = None,
+        max_capacity: int = 4_194_304,
     ):
         self.model = model
+        self.max_capacity = max_capacity
         self.adam = optim_lib.init_adam(model.params)
         self.cameras = cameras
         self.width, self.height = width, height
@@ -306,11 +313,16 @@ class Trainer:
                         jnp.float32(self.scene_extent), use_size,
                     )
                     live = int(info.num_live)
-                    if live > self.cfg.grow_watermark * self.model.capacity:
-                        self.model, self.adam = grow_with_adam(
-                            self.model, self.adam,
+                    if (
+                        live > self.cfg.grow_watermark * self.model.capacity
+                        and self.model.capacity < self.max_capacity
+                    ):
+                        new_cap = min(
                             splats_lib.round_capacity(2 * self.model.capacity),
+                            self.max_capacity,
                         )
+                        self.model, self.adam = grow_with_adam(
+                            self.model, self.adam, new_cap)
                 if it % cfg.opacity_reset_interval == 0 or (
                     self.white_background and it == cfg.densify_from_iter
                 ):
