@@ -63,3 +63,23 @@ def test_sharded_gradients_match(mesh8):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5, err_msg=name
         )
+
+
+def test_sharded_pallas_matches_single_device(mesh8):
+    """Pallas strips under shard_map == single-device pallas (interpret)."""
+    w, h = 128, 128  # 8 tile rows over 8 devices: 4-row strips (2 devs idle-ish)
+    cam = _cam(w, h)
+    scene = _random_scene(n=96, seed=13)
+    bg = jnp.array([0.1, 0.0, 0.2])
+    settings = _settings(w, h, "pallas", bin_capacity=128, tile_capacity=128,
+                         debug=True)
+
+    out_1 = jax.jit(lambda *a: render(cam, settings, *a, bg))(*scene)
+    out_8 = jax.jit(
+        lambda *a: render(cam, settings, *a, bg, mesh=mesh8)
+    )(*scene)
+    for k in ["render", "rend_alpha", "rend_normal", "depth_median"]:
+        np.testing.assert_allclose(
+            np.asarray(out_8[k]), np.asarray(out_1[k]), rtol=1e-4, atol=1e-4,
+            err_msg=k,
+        )

@@ -50,20 +50,42 @@ def rasterize_sharded(
     mesh: Mesh,
     axis: str = ROWS_AXIS,
 ):
-    """Row-sharded equivalent of `tiled.rasterize_tiled`.
+    """Row-sharded rendering: each device rasterizes its strip of tile rows
+    with the backend the settings select (tiled XLA or the fused Pallas
+    kernels).
 
     Returns (image (H,W,3), allmap dict) — arrays laid out row-sharded over
     `axis` (callers inside jit see global shapes)."""
     w, h = settings.width, settings.height
     n_dev = mesh.shape[axis]
-    rows_per = _strip_rows(h, settings.tile_px, settings.coarse_tiles, n_dev)
 
-    def strip_fn(splats, bg):
-        idx = lax.axis_index(axis)
-        img, allmap = tiled.rasterize_rows(
-            splats, settings, bg, idx * rows_per, rows_per
-        )
-        return img, allmap
+    if settings.backend == "pallas":
+        from tpu2dgs.raster import pallas_backend as pb
+
+        # strips in whole coarse-bin rows (4 tile rows of BY px)
+        nty = -(-h // pb.BY)
+        rows_per = -(-(-(-nty // n_dev)) // 4) * 4
+
+        def strip_fn(splats, bg):
+            idx = lax.axis_index(axis)
+            img, allmap = pb.rasterize_pallas(
+                splats, settings, bg,
+                tile_row0=idx * rows_per, nty_local=rows_per,
+            )
+            allmap = {k: v for k, v in allmap.items()
+                      if not k.startswith("_aux_")}
+            return img, allmap
+
+    else:
+        rows_per = _strip_rows(
+            h, settings.tile_px, settings.coarse_tiles, n_dev)
+
+        def strip_fn(splats, bg):
+            idx = lax.axis_index(axis)
+            img, allmap = tiled.rasterize_rows(
+                splats, settings, bg, idx * rows_per, rows_per
+            )
+            return img, allmap
 
     out_spec = P(axis)
     img, allmap = jax.shard_map(

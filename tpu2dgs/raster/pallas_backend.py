@@ -138,11 +138,12 @@ def _read_rec(rec_ref, jj):
     return [row[0, k] for k in range(21)]
 
 
-def _fwd_kernel(counts_ref, rec_ref, out_ref, *, nbx: int, n_chunks: int):
+def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nbx: int,
+                n_chunks: int):
     i = pl.program_id(0)
     count = counts_ref[i]
     x0 = ((i % nbx) * BX).astype(jnp.float32)
-    y0 = ((i // nbx) * BY).astype(jnp.float32)
+    y0 = (((i // nbx) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
     px = x0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 1).astype(jnp.float32)
     py = y0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 0).astype(jnp.float32)
@@ -227,12 +228,12 @@ def _fwd_kernel(counts_ref, rec_ref, out_ref, *, nbx: int, n_chunks: int):
     out_ref[0, 15] = zeros
 
 
-def _bwd_kernel(counts_ref, rec_ref, out_ref, dout_ref, drec_ref, scratch, *,
-                nbx: int, n_chunks: int):
+def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref, drec_ref,
+                scratch, *, nbx: int, n_chunks: int):
     i = pl.program_id(0)
     count = counts_ref[i]
     x0 = ((i % nbx) * BX).astype(jnp.float32)
-    y0 = ((i // nbx) * BY).astype(jnp.float32)
+    y0 = (((i // nbx) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
     px = x0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 1).astype(jnp.float32)
     py = y0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 0).astype(jnp.float32)
@@ -384,18 +385,18 @@ class PallasMaps(NamedTuple):
     distortion: jnp.ndarray  # (H, W)
 
 
-def _blend_call(rec3, counts, *, nbx, nty, interpret):
+def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
     t, c, _ = rec3.shape
     n_chunks = -(-c // CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
+            pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, OUT_CH, BY, BX),
-                               lambda i, counts: (i, 0, 0, 0),
+                               lambda i, counts, row0: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -403,24 +404,24 @@ def _blend_call(rec3, counts, *, nbx, nty, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
-    )(counts, rec3)
+    )(counts, row0, rec3)
 
 
-def _blend_bwd_call(rec3, counts, out, dout, *, nbx, interpret):
+def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
     t, c, _ = rec3.shape
     n_chunks = -(-c // CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
+            pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts: (i, 0, 0, 0),
+            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts: (i, 0, 0, 0),
+            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, REC), lambda i, counts: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((REC, BX), jnp.float32)],
     )
@@ -429,45 +430,55 @@ def _blend_bwd_call(rec3, counts, out, dout, *, nbx, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, c, REC), jnp.float32),
         interpret=interpret,
-    )(counts, rec3, out, dout)
+    )(counts, row0, rec3, out, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blend_tiles(rec3, counts, nbx, nty, interpret):
-    """rec3 (T, C, REC), counts (T,) -> out (T, OUT_CH, BY, BX)."""
-    return _blend_call(rec3, counts, nbx=nbx, nty=nty, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def blend_tiles(rec3, counts, row0, nbx, nty, interpret):
+    """rec3 (T, C, REC), counts (T,), row0 (1,) -> (T, OUT_CH, BY, BX)."""
+    return _blend_call(rec3, counts, row0, nbx=nbx, nty=nty,
+                       interpret=interpret)
 
 
-def _blend_fwd(rec3, counts, nbx, nty, interpret):
-    out = _blend_call(rec3, counts, nbx=nbx, nty=nty, interpret=interpret)
-    return out, (rec3, counts, out)
+def _blend_fwd(rec3, counts, row0, nbx, nty, interpret):
+    out = _blend_call(rec3, counts, row0, nbx=nbx, nty=nty,
+                      interpret=interpret)
+    return out, (rec3, counts, row0, out)
 
 
 def _blend_bwd(nbx, nty, interpret, res, dout):
-    rec3, counts, out = res
-    drec = _blend_bwd_call(rec3, counts, out, dout, nbx=nbx,
+    rec3, counts, row0, out = res
+    drec = _blend_bwd_call(rec3, counts, row0, out, dout, nbx=nbx,
                            interpret=interpret)
-    return drec, None
+    return drec, None, None
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 
 def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
-                     interpret: bool = False):
-    """Drop-in fast backend: same (image, allmap) contract as the others."""
+                     interpret: bool = False, tile_row0=0,
+                     nty_local: int | None = None):
+    """Drop-in fast backend: same (image, allmap) contract as the others.
+
+    With (tile_row0, nty_local) only that strip of BY-pixel tile rows is
+    rasterized (the unit of multi-chip distribution; tile_row0 may be a
+    traced scalar and MUST be a multiple of 4 for coarse-bin alignment).
+    The strip is returned un-cropped: (nty_local*BY, nbx*BX)."""
     w, h = settings.width, settings.height
     n = splats.tmat.shape[0]
 
     nbx = -(-w // BX)
-    nty = -(-h // BY)
+    full = nty_local is None
+    nty = -(-h // BY) if full else nty_local
     t = nbx * nty
 
     # top_k requires k <= n; kernel chunks want a CHUNK-multiple capacity
     cap = min(settings.tile_capacity, max(n, 1))
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
 
-    tile_ids, tile_valid, counts = _bin_rect(splats, nbx, nty, bin_cap, cap)
+    tile_ids, tile_valid, counts = _bin_rect(
+        splats, nbx, nty, bin_cap, cap, tile_row0)
     pad_cols = (-tile_ids.shape[1]) % CHUNK
     if pad_cols:
         tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad_cols)))
@@ -477,11 +488,13 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     rec3 = rec[tile_ids]                        # (T, C, REC)
     counts = counts.astype(jnp.int32)
 
-    out = blend_tiles(rec3, counts, nbx, nty, interpret)
+    row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
+    out = blend_tiles(rec3, counts, row0, nbx, nty, interpret)
 
     def untile(ch):
         a = out[:, ch].reshape(nty, nbx, BY, BX)
-        return jnp.moveaxis(a, 1, 2).reshape(nty * BY, nbx * BX)[:h, :w]
+        a = jnp.moveaxis(a, 1, 2).reshape(nty * BY, nbx * BX)
+        return a[:h, :w] if full else a
 
     t_final = untile(3)
     image = jnp.stack([untile(0), untile(1), untile(2)], axis=-1)
@@ -505,7 +518,7 @@ def _smallest_k_pairs(keys, ids, k):
     return -neg, jnp.take_along_axis(ids, idx, axis=-1)
 
 
-def _bin_rect(splats, nbx, nty, bin_cap, cap):
+def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0=0):
     """Rectangular-tile binning: coarse bins = 4 tile rows x 1 tile col.
 
     Depth values (already +inf for culled splats) serve directly as sort
@@ -525,7 +538,8 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap):
     # row-groups of bins to bound memory, still one top_k per group.
     nb = nby_c * nbx
     bix = jnp.arange(nb, dtype=jnp.float32) % nbx
-    biy = jnp.arange(nb, dtype=jnp.float32) // nbx
+    biy = (jnp.arange(nb, dtype=jnp.float32) // nbx
+           + jnp.float32(tile_row0) / cby)
     bx0 = (bix * BX)[:, None]
     bx1 = (bix * BX + (BX - 1))[:, None]
     by0 = (biy * (BY * cby))[:, None]
@@ -550,7 +564,7 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap):
     tiy = jnp.arange(t, dtype=jnp.int32) // nbx
     bin_of_tile = (tiy // cby) * nbx + tix
 
-    ty0 = (tiy * BY).astype(jnp.float32)[:, None]
+    ty0 = ((tiy + tile_row0) * BY).astype(jnp.float32)[:, None]
     ty1 = ty0 + (BY - 1)
     hit = (cy0[bin_of_tile] <= ty1) & (cy1[bin_of_tile] >= ty0)
     keys = jnp.where(hit, coarse_k[bin_of_tile], inf)
