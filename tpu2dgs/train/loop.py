@@ -230,6 +230,16 @@ class Trainer:
         )
         self.gui = None            # optional viewer.network_gui.NetworkGUI
         self.source_path = ""      # verify string sent to the viewer
+        # Pre-stage per-camera device data once: repeated host->device image
+        # uploads per step dominate when the accelerator link is slow, and
+        # are pure waste everywhere (reference re-uploads every iteration,
+        # train.py:72).
+        self._cam_arrays = [c.arrays() for c in cameras]
+        self._gt_images = [
+            jax.device_put(jnp.asarray(c.image, jnp.float32))
+            if c.image is not None else None
+            for c in cameras
+        ]
 
     # -- helpers -----------------------------------------------------------
 
@@ -248,10 +258,10 @@ class Trainer:
             )
         return self._step_fns[key]
 
-    def _next_camera(self) -> Camera:
+    def _next_camera_index(self) -> int:
         if not self._cam_stack:
             self._cam_stack = list(self.rng.permutation(len(self.cameras)))
-        return self.cameras[self._cam_stack.pop()]
+        return int(self._cam_stack.pop())
 
     def _split_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -275,17 +285,17 @@ class Trainer:
                 self.active_sh_degree += 1
 
             if cfg.camera_batch == 1:
-                cam = self._next_camera()
-                cam_arrays = cam.arrays()
-                gt = jnp.asarray(cam.image, jnp.float32)
+                ci = self._next_camera_index()
+                cam_arrays = self._cam_arrays[ci]
+                gt = self._gt_images[ci]
             else:
-                cams = [self._next_camera() for _ in range(cfg.camera_batch)]
+                idxs = [self._next_camera_index()
+                        for _ in range(cfg.camera_batch)]
                 cam_arrays = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[c.arrays() for c in cams]
+                    lambda *xs: jnp.stack(xs),
+                    *[self._cam_arrays[i] for i in idxs]
                 )
-                gt = jnp.stack(
-                    [jnp.asarray(c.image, jnp.float32) for c in cams]
-                )
+                gt = jnp.stack([self._gt_images[i] for i in idxs])
             bg = (
                 jax.random.uniform(self._split_key(), (3,))
                 if cfg.random_background else self.bg
