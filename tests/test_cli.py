@@ -196,3 +196,53 @@ def test_train_render_metrics_pipeline(tmp_path):
         results = json.load(f)
     assert "ours_30" in results
     assert results["ours_30"]["PSNR"] > 10.0
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    """--start_checkpoint resumes training from saved state."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_train import _gt_scene, _orbit_camera
+    from tpu2dgs.model import splats as splats_lib
+    from tpu2dgs.raster.api import RasterSettings, render as render_op
+    from tpu2dgs.train import checkpoint as ckpt_lib
+    from tpu2dgs.train.loop import TrainConfig, Trainer
+
+    w = h = 32
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=10, seed=12)
+    cams = [_orbit_camera(i, a, w=w, h=h)
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 3, endpoint=False))]
+    st = RasterSettings(width=w, height=h, sh_degree=0, backend="tiled",
+                        bin_capacity=16, tile_capacity=16)
+    for cam in cams:
+        cam.image = np.asarray(
+            render_op(cam.arrays(), st, *gt_splats, jnp.zeros(3))["render"])
+
+    def make_trainer(model):
+        return Trainer(
+            model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+            train_cfg=TrainConfig(densify_from_iter=10_000,
+                                  normal_from_iter=10_000,
+                                  dist_from_iter=10_000),
+            max_sh_degree=0,
+            raster_kwargs=dict(backend="tiled", bin_capacity=16,
+                               tile_capacity=16),
+        )
+
+    t1 = make_trainer(splats_lib.create_from_pcd(gt_xyz, gt_rgb, capacity=16))
+    t1.train(num_iters=20)
+    path = str(tmp_path / "ck.npz")
+    ckpt_lib.save_checkpoint(path, t1.model, t1.adam, t1.step)
+
+    model2, adam2, step2, _ = ckpt_lib.load_checkpoint(path)
+    t2 = make_trainer(model2)
+    t2.adam = adam2
+    t2.step = step2
+    assert t2.step == 20
+    assert int(t2.adam.count) == int(t1.adam.count)
+    t2.train(num_iters=10)
+    assert t2.step == 30
+    assert np.isfinite(t2.ema_loss)
+    for leaf in t2.model.params:
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -111,3 +111,41 @@ def test_depth_to_normal_plane():
     ref = inner.reshape(-1, 3)[0]
     np.testing.assert_allclose(np.abs(ref[2]), 1.0, atol=1e-4)
     np.testing.assert_allclose(inner, np.broadcast_to(ref, inner.shape), atol=1e-4)
+
+
+def test_axes_override_matches_internal():
+    """The cov3D_precomp-equivalent path: passing splat_axes output as
+    axes_override must reproduce the internal computation exactly."""
+    import numpy as np
+    from tests.test_tiled import _cam, _random_scene
+    from tpu2dgs.core import transforms
+    from tpu2dgs.raster import preprocess as pre
+
+    cam = _cam(32, 32)
+    xyz, scaling, rotation, opacity, features = _random_scene(n=12, seed=31)
+    base = pre.preprocess(xyz, scaling, rotation, opacity, features,
+                          cam, 32, 32, 3)
+    axes = transforms.splat_axes(scaling, rotation)
+    over = pre.preprocess(xyz, scaling, rotation, opacity, features,
+                          cam, 32, 32, 3, axes_override=axes)
+    np.testing.assert_allclose(np.asarray(over.tmat), np.asarray(base.tmat),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(over.normal),
+                               np.asarray(base.normal), atol=1e-6)
+
+
+def test_mark_visible():
+    import jax.numpy as jnp
+    import numpy as np
+    from tests.test_tiled import _cam
+    from tpu2dgs.raster.api import mark_visible
+
+    cam = _cam(32, 32)
+    xyz = jnp.array([
+        [0.0, 0.0, 2.0],    # in front, centered
+        [0.0, 0.0, -2.0],   # behind
+        [50.0, 0.0, 2.0],   # far outside frustum
+        [0.0, 0.0, 0.05],   # closer than near cull
+    ])
+    vis = np.asarray(mark_visible(xyz, cam))
+    assert vis.tolist() == [True, False, False, False]
