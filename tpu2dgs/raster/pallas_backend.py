@@ -337,11 +337,13 @@ def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref, drec_ref,
             d_pw = -(su * d_su + sv * d_sv) * inv
 
             # p = x*c1 + y*c2 + c3 per component (u, v, w).
-            # Gradients materialize via two-stage reduction: sublane-reduce
-            # each contribution plane to a (1, BX) row in scratch (static
-            # sublane writes), then one lane reduction + transpose yields
-            # the (1, REC) row stored at dynamic sublane jj (scalar and
-            # dynamic-lane VMEM stores don't lower).
+            # Gradients materialize via a per-chunk two-stage reduction:
+            # each splat sublane-reduces its 19 contribution planes into its
+            # (REC, BX) slab of scratch (static sublane rows, dynamic
+            # leading index); after the chunk, ONE lane reduction over
+            # (CHUNK, REC, BX) yields the (CHUNK, REC) block stored at
+            # dynamic sublane j0 (scalar and dynamic-lane VMEM stores don't
+            # lower; batching amortizes the lane-reduce + store).
             w_gated = jnp.where(gate, w, 0.0)
             partials = [
                 px * d_pu, px * d_pv, px * d_pw,
@@ -352,18 +354,21 @@ def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref, drec_ref,
                 w_gated * d_nrm[0], w_gated * d_nrm[1], w_gated * d_nrm[2],
                 d_op_plane,
             ]
-            for k, plane in enumerate(partials):
-                scratch[k:k + 1, :] = jnp.sum(plane, axis=0, keepdims=True)
-            col = jnp.sum(scratch[:, :], axis=1, keepdims=True)  # (REC, 1)
-            drec_ref[0, pl.ds(jj, 1), :] = col.reshape(1, REC)
+            for comp, plane in enumerate(partials):
+                scratch[k, comp:comp + 1, :] = jnp.sum(
+                    plane, axis=0, keepdims=True)
 
             return (t_before, acc_w, s_w, s_wm, acc_a, med_done, s_wm2)
 
-        return lax.fori_loop(0, CHUNK, splat_body, carry)
+        carry = lax.fori_loop(0, CHUNK, splat_body, carry)
+        rows = jnp.sum(scratch[:, :, :], axis=2)  # (CHUNK, REC)
+        drec_ref[0, pl.ds(j0, CHUNK), :] = rows
+        return carry
 
     # zero the full gradient block first (rows beyond count stay zero)
     drec_ref[0] = jnp.zeros(drec_ref.shape[1:], jnp.float32)
-    scratch[:, :] = jnp.zeros((REC, BX), jnp.float32)  # rows 19..23 stay 0
+    scratch[:, :, :] = jnp.zeros(
+        (CHUNK, REC, BX), jnp.float32)  # component rows 19..23 stay 0
 
     def cond(carry):
         c, _ = carry
@@ -423,7 +428,7 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         ],
         out_specs=pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((REC, BX), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((CHUNK, REC, BX), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, nbx=nbx, n_chunks=n_chunks),
