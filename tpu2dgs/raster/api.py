@@ -41,6 +41,8 @@ class RasterSettings:
     coarse_tiles: int = 4        # fine tiles per coarse bin edge
     bin_capacity: int = 4096     # max splats per coarse bin
     tile_capacity: int = 1024    # max splats per fine tile
+    vis_capacity: int = 0        # depth-compaction prefix size (0 = all N);
+                                 # binning runs over the front-most K visible
     chunk: int = 32              # splats composited per vector step
     debug: bool = False          # pallas: interpreter mode ("sanitizer",
                                  # the reference rasterizer's debug flag)

@@ -22,8 +22,9 @@ back-to-front with suffix accumulators (the TPU replacement for CUDA's
 atomicAdd gradient scatter is a per-splat plane reduction + the XLA
 gather-transpose outside).
 
-Binning reuses the tiled backend's streaming top-k machinery with
-rectangular (BX x BY) tiles.
+Binning goes through binning.py (global depth compaction + prefix-sum
+selection) with rectangular (BX x BY) tiles; per-tile lists arrive
+depth-sorted and deterministic.
 
 Record layout (REC = 24 floats, lane-padded):
   0:9   c1, c2, c3        (intersection constants)
@@ -53,7 +54,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu2dgs.raster import tiled
+from tpu2dgs.raster import binning
 from tpu2dgs.raster.common import (
     ALPHA_CLAMP,
     ALPHA_MIN,
@@ -478,20 +479,21 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     nty = -(-h // BY) if full else nty_local
     t = nbx * nty
 
-    # top_k requires k <= n; kernel chunks want a CHUNK-multiple capacity
     cap = min(settings.tile_capacity, max(n, 1))
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
+    k_vis = min(settings.vis_capacity or n, n)
 
-    tile_ids, tile_valid, counts = _bin_rect(
-        splats, nbx, nty, bin_cap, cap, tile_row0)
-    pad_cols = (-tile_ids.shape[1]) % CHUNK
+    comp, tile_pos, tile_valid, raw_counts, bin_counts = _bin_rect(
+        splats, nbx, nty, bin_cap, cap, tile_row0, k_vis)
+    counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
+    pad_cols = (-tile_pos.shape[1]) % CHUNK
     if pad_cols:
-        tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad_cols)))
+        tile_pos = jnp.pad(tile_pos, ((0, 0), (0, pad_cols)))
         tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad_cols)))
 
     rec = pack_records(splats)                  # (N, REC) differentiable
-    rec3 = rec[tile_ids]                        # (T, C, REC)
-    counts = counts.astype(jnp.int32)
+    rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
+    rec3 = rec_c[tile_pos]                      # (T, C, REC)
 
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
     out = blend_tiles(rec3, counts, row0, nbx, nty, interpret)
@@ -511,70 +513,46 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         "depth_median": untile(8),
         "distortion": untile(9),
         # diagnostics (scalar, popped by api.render into the out dict):
-        # fraction of tiles whose splat list hit capacity (truncated tail)
-        "_aux_tile_overflow_frac": jnp.mean((counts >= cap).astype(jnp.float32)),
+        # fraction of tiles whose overlap set exceeded capacity (tail cut)
+        "_aux_tile_overflow_frac": jnp.mean(
+            (raw_counts > cap).astype(jnp.float32)),
+        "_aux_bin_overflow_frac": jnp.mean(
+            (bin_counts > bin_cap).astype(jnp.float32)),
+        "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
     }
     return image, allmap
 
 
-def _smallest_k_pairs(keys, ids, k):
-    """Per-row k smallest (key, id) pairs, keys ascending."""
-    neg, idx = lax.top_k(-keys, k)
-    return -neg, jnp.take_along_axis(ids, idx, axis=-1)
-
-
-def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0=0):
+def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis):
     """Rectangular-tile binning: coarse bins = 4 tile rows x 1 tile col.
 
-    Depth values (already +inf for culled splats) serve directly as sort
-    keys with splat ids carried through top_k — no global argsort, no rank
-    indirection (the two N-element sorts cost more than all the top-ks)."""
+    Built on binning.py's depth compaction + prefix-sum selection: every
+    list is depth-ascending by construction (positional order in the
+    compacted space), deterministic at equal depths."""
     cby = 4  # coarse bin = (BX, 4*BY) px
     nby_c = -(-nty // cby)
 
-    x0, x1, y0, y1 = tiled._aabb(splats)
-    depth = lax.stop_gradient(splats.depth)
-    n = depth.shape[0]
-    inf = jnp.float32(jnp.inf)
+    comp = binning.compact_visible(splats, k_vis)
 
-    # coarse: per-bin front-most `bin_cap` splats. Single-shot top-k over
-    # the full (NB, N) key matrix: the returned indices ARE the splat ids
-    # (no gather, no global sort). For very large N the matrix is built in
-    # row-groups of bins to bound memory, still one top_k per group.
     nb = nby_c * nbx
     bix = jnp.arange(nb, dtype=jnp.float32) % nbx
     biy = (jnp.arange(nb, dtype=jnp.float32) // nbx
            + jnp.float32(tile_row0) / cby)
-    bx0 = (bix * BX)[:, None]
-    bx1 = (bix * BX + (BX - 1))[:, None]
-    by0 = (biy * (BY * cby))[:, None]
-    by1 = (biy * (BY * cby) + (BY * cby - 1))[:, None]
-
-    hit = tiled._overlaps(x0[None], x1[None], y0[None], y1[None],
-                          bx0, bx1, by0, by1)          # (NB, N)
-    keys = jnp.where(hit, depth[None, :], inf)
-    neg, coarse_i = lax.top_k(-keys, bin_cap)
-    coarse_k = -neg
-    coarse_i = coarse_i.astype(jnp.int32)
-
-    # fine: per tile from its coarse bin's candidates. Bins are exactly one
-    # tile-column wide, so the x-overlap is already established by the
-    # coarse pass — only the y test matters here.
-    cand_ok = jnp.isfinite(coarse_k)
-    cy0 = jnp.where(cand_ok, y0[coarse_i], 1e9)
-    cy1 = jnp.where(cand_ok, y1[coarse_i], -1e9)
+    bx0 = bix * BX
+    bx1 = bix * BX + (BX - 1)
+    by0 = biy * (BY * cby)
+    by1 = biy * (BY * cby) + (BY * cby - 1)
+    cand_pos, cand_valid, bin_counts = binning.select_coarse(
+        comp, bx0, bx1, by0, by1, bin_cap)
 
     t = nty * nbx
     tix = jnp.arange(t, dtype=jnp.int32) % nbx
     tiy = jnp.arange(t, dtype=jnp.int32) // nbx
     bin_of_tile = (tiy // cby) * nbx + tix
-
-    ty0 = ((tiy + tile_row0) * BY).astype(jnp.float32)[:, None]
+    tx0 = (tix * BX).astype(jnp.float32)
+    tx1 = tx0 + (BX - 1)
+    ty0 = ((tiy + tile_row0) * BY).astype(jnp.float32)
     ty1 = ty0 + (BY - 1)
-    hit = (cy0[bin_of_tile] <= ty1) & (cy1[bin_of_tile] >= ty0)
-    keys = jnp.where(hit, coarse_k[bin_of_tile], inf)
-    tile_keys, tile_ids = _smallest_k_pairs(keys, coarse_i[bin_of_tile], cap)
-    tile_valid = jnp.isfinite(tile_keys)
-    tile_ids = jnp.where(tile_valid, tile_ids, 0)
-    counts = jnp.sum(tile_valid, axis=1, dtype=jnp.int32)
-    return tile_ids, tile_valid, counts
+    tile_pos, tile_valid, counts = binning.select_fine(
+        comp, cand_pos, cand_valid, bin_of_tile, tx0, tx1, ty0, ty1, cap)
+    return comp, tile_pos, tile_valid, counts, bin_counts

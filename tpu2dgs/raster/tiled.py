@@ -4,14 +4,15 @@ reference's CUB-radix-sort + per-tile-thread-block design (SURVEY.md §2.10).
 Where CUDA duplicates (tile, depth) keys and radix-sorts them, a TPU wants
 static shapes and no atomics. The design here:
 
-  1. Global depth ranks: one `argsort` of the N splat depths (culled = +inf).
+  1. Depth compaction: one stable global sort of the N splat depths
+     (culled = +inf) yields a depth-ordered visible prefix (binning.py).
   2. Coarse binning: the screen is divided into coarse bins of
      `coarse_tiles x coarse_tiles` fine tiles. For each bin, the front-most
-     `bin_capacity` overlapping splats are selected with a *streaming* top-k
-     over splat chunks (bounded memory, any N).
+     `bin_capacity` overlapping splats are selected positionally (prefix-sum
+     + binary search over the hit matrix — no per-bin sorting).
   3. Fine binning: each 16x16 fine tile refines its coarse bin's candidate
-     list to `tile_capacity` entries with one more top-k. Keys are depth
-     ranks, so each tile's list is front-to-back sorted by construction.
+     list to `tile_capacity` entries the same way. Positional order in the
+     compacted space IS front-to-back depth order (ties broken by id).
   4. Blending: all tiles advance in lockstep through their lists,
      `chunk` splats per step, using the shared vectorized compositing math in
      `blend.py` (vmapped over tiles). Front-to-back order dependence is
@@ -37,6 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from tpu2dgs.raster import binning
 from tpu2dgs.raster import blend
 from tpu2dgs.raster.preprocess import SplatScreen
 
@@ -57,114 +59,44 @@ def _overlaps(x0, x1, y0, y1, bx0, bx1, by0, by1):
     return (x0 <= bx1) & (x1 >= bx0) & (y0 <= by1) & (y1 >= by0)
 
 
-def _smallest_k(keys: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Per-row k smallest values of `keys` (..., M), ascending order."""
-    neg, _ = lax.top_k(-keys, k)
-    return -neg
+def bin_square(splats: SplatScreen, settings, nty_local: int,
+               tile_row_offset, bin_cap: int, tile_cap: int, k_vis: int):
+    """Two-level square-tile binning via binning.py's compaction scheme.
 
+    Returns (comp, tile_ids (T, cap) int32 splat ids, tile_valid, counts
+    (T,) raw overlap counts, bin_counts (NB,))."""
+    w = settings.width
+    tpx = settings.tile_px
+    cbt = settings.coarse_tiles
+    ntx = _cdiv(w, tpx)
+    nbx, nby = _cdiv(ntx, cbt), _cdiv(nty_local, cbt)
 
-def bin_coarse(
-    splats: SplatScreen,
-    rank_key: jnp.ndarray,  # (N,) depth rank, BIG where invisible
-    big: int,
-    nbx: int,
-    nby: int,
-    bin_px: int,
-    capacity: int,
-    bin_row_offset,         # traced or 0: first coarse-bin row of this strip
-    chunk: int = 32768,
-):
-    """Streaming front-most-`capacity` selection per coarse bin.
-
-    Returns (nby*nbx, capacity) int32 depth ranks, ascending, BIG-padded.
-    """
-    n = rank_key.shape[0]
-    x0, x1, y0, y1 = _aabb(splats)
+    comp = binning.compact_visible(splats, k_vis)
 
     nb = nby * nbx
+    bin_px = tpx * cbt
     bix = jnp.arange(nb, dtype=jnp.float32) % nbx
-    biy = jnp.arange(nb, dtype=jnp.float32) // nbx + bin_row_offset
-    bx0 = (bix * bin_px)[:, None]
-    bx1 = (bix * bin_px + (bin_px - 1))[:, None]
-    by0 = (biy * bin_px)[:, None]
-    by1 = (biy * bin_px + (bin_px - 1))[:, None]
+    biy = (jnp.arange(nb, dtype=jnp.float32) // nbx
+           + jnp.float32(tile_row_offset) / cbt)
+    bx0 = bix * bin_px
+    bx1 = bx0 + (bin_px - 1)
+    by0 = biy * bin_px
+    by1 = by0 + (bin_px - 1)
+    cand_pos, cand_valid, bin_counts = binning.select_coarse(
+        comp, bx0, bx1, by0, by1, bin_cap)
 
-    pad = (-n) % chunk
-    def padded(a, fill):
-        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
-
-    steps = (n + pad) // chunk
-    xs = (
-        padded(rank_key, big).reshape(steps, chunk),
-        padded(x0, 1e9).reshape(steps, chunk),
-        padded(x1, -1e9).reshape(steps, chunk),
-        padded(y0, 1e9).reshape(steps, chunk),
-        padded(y1, -1e9).reshape(steps, chunk),
-    )
-
-    def step(best, inp):
-        rk, cx0, cx1, cy0, cy1 = inp
-        hit = _overlaps(cx0[None], cx1[None], cy0[None], cy1[None], bx0, bx1, by0, by1)
-        keys = jnp.where(hit, rk[None, :], big)  # (NB, chunk)
-        merged = jnp.concatenate([best, keys], axis=1)
-        return _smallest_k(merged, capacity), None
-
-    init = jnp.full((nb, capacity), big, jnp.int32)
-    best, _ = lax.scan(step, init, xs)
-    return best
-
-
-def bin_fine(
-    splats: SplatScreen,
-    order: jnp.ndarray,       # (N,) splat id at each depth rank
-    coarse: jnp.ndarray,      # (NB, B) ranks per coarse bin
-    big: int,
-    ntx: int,
-    nty: int,
-    tile_px: int,
-    coarse_tiles: int,
-    capacity: int,
-    tile_row_offset,          # traced or 0: first fine-tile row of this strip
-):
-    """Refine coarse candidates to per-fine-tile lists.
-
-    Returns (T, capacity) int32 splat ids, (T, capacity) bool valid,
-    (T,) int32 exact per-tile overlap counts (within the coarse candidates).
-    """
-    n = order.shape[0]
-    x0, x1, y0, y1 = _aabb(splats)
-    nbx = _cdiv(ntx, coarse_tiles)
-
-    # Candidate splat data gathered once at bin granularity.
-    cand_id = order[jnp.minimum(coarse, n - 1)]         # (NB, B)
-    cand_ok = coarse < big
-    cx0 = jnp.where(cand_ok, x0[cand_id], 1e9)
-    cx1 = jnp.where(cand_ok, x1[cand_id], -1e9)
-    cy0 = jnp.where(cand_ok, y0[cand_id], 1e9)
-    cy1 = jnp.where(cand_ok, y1[cand_id], -1e9)
-
-    t = nty * ntx
+    t = nty_local * ntx
     tix = jnp.arange(t, dtype=jnp.int32) % ntx
     tiy_local = jnp.arange(t, dtype=jnp.int32) // ntx
-    tiy = tiy_local + tile_row_offset
-    bin_of_tile = (tiy_local // coarse_tiles) * nbx + tix // coarse_tiles  # (T,)
-
-    tx0 = (tix * tile_px).astype(jnp.float32)[:, None]
-    tx1 = tx0 + (tile_px - 1)
-    ty0 = (tiy * tile_px).astype(jnp.float32)[:, None]
-    ty1 = ty0 + (tile_px - 1)
-
-    hit = _overlaps(
-        cx0[bin_of_tile], cx1[bin_of_tile], cy0[bin_of_tile], cy1[bin_of_tile],
-        tx0, tx1, ty0, ty1,
-    )  # (T, B)
-    counts = jnp.sum(hit, axis=1, dtype=jnp.int32)
-
-    keys = jnp.where(hit, coarse[bin_of_tile], big)
-    tile_ranks = _smallest_k(keys, capacity)            # (T, C) ascending
-    tile_valid = tile_ranks < big
-    tile_ids = order[jnp.minimum(tile_ranks, n - 1)]
-    return tile_ids, tile_valid, counts
+    bin_of_tile = (tiy_local // cbt) * nbx + tix // cbt
+    tx0 = (tix * tpx).astype(jnp.float32)
+    tx1 = tx0 + (tpx - 1)
+    ty0 = ((tiy_local + tile_row_offset) * tpx).astype(jnp.float32)
+    ty1 = ty0 + (tpx - 1)
+    tile_pos, tile_valid, counts = binning.select_fine(
+        comp, cand_pos, cand_valid, bin_of_tile, tx0, tx1, ty0, ty1, tile_cap)
+    tile_ids = comp.perm[tile_pos]
+    return comp, tile_ids, tile_valid, counts, bin_counts
 
 
 def rasterize_rows(
@@ -182,27 +114,18 @@ def rasterize_rows(
     tpx = settings.tile_px
     cbt = settings.coarse_tiles
     n = splats.tmat.shape[0]
-    big = n + 1
 
     ntx = _cdiv(w, tpx)
-    nbx, nby = _cdiv(ntx, cbt), _cdiv(nty_local, cbt)
     t = ntx * nty_local
     p = tpx * tpx
 
-    order = jnp.argsort(splats.depth).astype(jnp.int32)   # id at rank
-    rank = jnp.argsort(order).astype(jnp.int32)           # rank of id
-    rank_key = jnp.where(splats.visible, rank, big)
-
     bin_cap = min(settings.bin_capacity, _pow2_at_least(n))
     tile_cap = min(settings.tile_capacity, bin_cap)
+    k_vis = min(getattr(settings, "vis_capacity", 0) or n, n)
 
-    coarse = bin_coarse(
-        splats, rank_key, big, nbx, nby, bin_px=tpx * cbt, capacity=bin_cap,
-        bin_row_offset=tile_row_offset // cbt,
-    )
-    tile_ids, tile_valid, counts = bin_fine(
-        splats, order, coarse, big, ntx, nty_local, tpx, cbt,
-        capacity=tile_cap, tile_row_offset=tile_row_offset,
+    comp, tile_ids, tile_valid, counts, bin_counts = bin_square(
+        splats, settings, nty_local, tile_row_offset, bin_cap, tile_cap,
+        k_vis,
     )
 
     # Per-tile global pixel coordinates.
@@ -259,8 +182,8 @@ def rasterize_rows(
     aux = {
         "tile_count_max": jnp.max(counts),
         "tile_overflow": jnp.sum(counts > tile_cap),
-        "bin_count_max": jnp.max(jnp.sum(coarse < big, axis=1)),
-        "bin_overflow": jnp.sum(coarse[:, -1] < big),
+        "bin_count_max": jnp.max(bin_counts),
+        "bin_overflow": jnp.sum(bin_counts > bin_cap),
     }
     return image, allmap, aux
 
