@@ -1,16 +1,51 @@
-"""Tanks&Temples single-scene F-score: ICP-refined alignment + histogram
-precision/recall at tau (reference scripts/eval_tnt/run.py + evaluation.py,
-with scipy ICP replacing open3d registration)."""
+"""Tanks&Temples single-scene F-score — the full official protocol.
+
+Mirrors reference scripts/eval_tnt/run.py:58-200 without open3d:
+  1. estimated camera trajectory (.log / cameras.json) is aligned to the
+     GT-frame COLMAP trajectory (<scene>_COLMAP_SfM.log transformed by
+     <scene>_trans.txt) with scaled correspondence RANSAC — this recovers
+     the arbitrary scale + pose of the COLMAP frame,
+  2. mesh points (vertices + face-center-augmented samples, run.py:95-108)
+     are mapped to the GT frame and cropped to the official selection
+     polygon volume (<scene>.json),
+  3. 3-stage scaled-ICP refinement on voxel/uniform-downsampled clouds
+     (registration.py:133-177: dTau*80 @ voxel dTau, dTau*20 @ voxel
+     dTau/2, 2*dTau uniform),
+  4. precision/recall/F1 histogram at the per-scene tau
+     (evaluation.py EvaluateHisto; both clouds downsampled at dTau/2).
+
+Without --gt-log/--gt-trans (e.g. synthetic data already in the GT frame)
+step 1 is skipped and ICP alone refines, as round 1 did.
+"""
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
 
+def load_estimated_trajectory(path):
+    """Estimated camera poses: TnT .log or a model-dir cameras.json."""
+    from tpu2dgs.eval import trajectory as tio
+
+    if path.endswith(".json"):
+        with open(path) as f:
+            cams = json.load(f)
+        traj = []
+        for c in cams:
+            mat = np.eye(4)
+            mat[:3, :3] = np.asarray(c["rotation"])
+            mat[:3, 3] = np.asarray(c["position"])
+            traj.append(tio.CameraPose((c["id"],), mat))
+        return traj
+    return tio.read_trajectory(path)
+
+
 def main(argv=None):
+    from tpu2dgs.eval import trajectory as tio
     from tpu2dgs.eval.geometry import (
         align_icp, downsample_points, fscore, sample_mesh_points,
     )
@@ -21,32 +56,63 @@ def main(argv=None):
     parser.add_argument("--gt-ply", required=True)
     parser.add_argument("--ply-path", required=True)
     parser.add_argument("--tau", type=float, required=True)
+    parser.add_argument("--traj-path", default=None,
+                        help="estimated trajectory (.log or cameras.json)")
+    parser.add_argument("--gt-log", default=None,
+                        help="<scene>_COLMAP_SfM.log GT-frame trajectory")
+    parser.add_argument("--gt-trans", default=None,
+                        help="<scene>_trans.txt 4x4 alignment")
+    parser.add_argument("--crop-json", default=None,
+                        help="<scene>.json selection polygon volume")
+    parser.add_argument("--map-file", default=None)
     parser.add_argument("--out", default="f1.json")
     parser.add_argument("--n-samples", type=int, default=2_000_000)
     args = parser.parse_args(argv)
 
     verts, faces = read_mesh_ply(args.ply_path)
-    # face-center + vertex augmented samples (reference run.py:95-108 style)
     data_pts = sample_mesh_points(verts, faces, n=args.n_samples)
     gt_v = read_ply_vertices(args.gt_ply)
     gt_pts = np.stack([gt_v["x"], gt_v["y"], gt_v["z"]], 1).astype(np.float64)
 
-    density = args.tau / 2.0
-    data_pts = downsample_points(data_pts, density)
-    gt_down = downsample_points(gt_pts, density)
+    # 1. trajectory-based similarity registration (scale + pose).
+    if args.traj_path and args.gt_log:
+        est_traj = load_estimated_trajectory(args.traj_path)
+        gt_traj = tio.read_trajectory(args.gt_log)
+        gt_trans = np.loadtxt(args.gt_trans) if args.gt_trans else None
+        T0 = tio.align_trajectories(est_traj, gt_traj, gt_trans,
+                                    map_file=args.map_file)
+        data_pts = data_pts @ T0[:3, :3].T + T0[:3, 3]
+        scale = float(np.cbrt(np.linalg.det(T0[:3, :3])))
+        print(f"trajectory RANSAC: scale {scale:.4f}")
 
-    # 3-stage ICP refinement (reference run.py:156-161)
+    # 2. crop to the official evaluation volume.
+    vol = tio.read_crop_json(args.crop_json) if args.crop_json else None
+    if vol is not None:
+        data_pts = data_pts[tio.crop_points(data_pts, vol)]
+        gt_pts = gt_pts[tio.crop_points(gt_pts, vol)]
+
+    # 3. scaled-ICP refinement in 3 stages (registration.py cadence).
+    tau = args.tau
+    stages = ((tau, tau * 80), (tau / 2.0, tau * 20), (None, 2 * tau))
     pts = data_pts
-    for max_corr in (args.tau * 10, args.tau * 3, args.tau):
-        T = align_icp(pts, gt_down, iters=15, max_corr=max_corr)
-        pts = pts @ T[:3, :3].T + T[:3, 3]
+    T = np.eye(4)
+    for voxel, max_corr in stages:
+        src = downsample_points(pts, voxel) if voxel else pts
+        tgt = downsample_points(gt_pts, voxel) if voxel else gt_pts
+        step = align_icp(src, tgt, iters=20, max_corr=max_corr,
+                         with_scale=True)
+        pts = pts @ step[:3, :3].T + step[:3, 3]
+        T = step @ T
 
-    precision, recall, f1 = fscore(pts, gt_down, args.tau)
+    # 4. F-score at tau on dTau/2-downsampled clouds (EvaluateHisto).
+    d_down = downsample_points(pts, tau / 2.0)
+    g_down = downsample_points(gt_pts, tau / 2.0)
+    precision, recall, f1 = fscore(d_down, g_down, tau)
     print(f"precision {precision:.4f}  recall {recall:.4f}  f1 {f1:.4f} "
-          f"(tau {args.tau})")
+          f"(tau {tau})")
     with open(args.out, "w") as f:
         json.dump({"precision": precision, "recall": recall, "f1": f1,
-                   "tau": args.tau}, f, indent=2)
+                   "tau": tau}, f, indent=2)
 
 
 if __name__ == "__main__":

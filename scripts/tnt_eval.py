@@ -47,11 +47,24 @@ def main():
         script_dir = os.path.dirname(os.path.abspath(__file__))
         for scene in TNT_360 + TNT_LARGE:
             ply = f"{args.output_path}/{scene}/train/ours_30000/fuse_post.ply"
+            gt = f"{args.TNT_GT}/{scene}"
+            # Official protocol inputs: GT-frame COLMAP trajectory +
+            # alignment + crop volume (eval_tnt/run.py:110-161). The
+            # estimated trajectory is the model dir's cameras.json.
+            extra = (
+                f" --traj-path {args.output_path}/{scene}/cameras.json"
+                f" --gt-log {gt}/{scene}_COLMAP_SfM.log"
+                f" --gt-trans {gt}/{scene}_trans.txt"
+                f" --crop-json {gt}/{scene}.json"
+            )
+            mapping = f"{gt}/{scene}_mapping_reference.txt"
+            if os.path.exists(mapping):
+                extra += f" --map-file {mapping}"
             os.system(
                 f"python {script_dir}/eval_tnt_scene.py "
-                f"--gt-ply {args.TNT_GT}/{scene}/{scene}.ply "
+                f"--gt-ply {gt}/{scene}.ply "
                 f"--ply-path {ply} --tau {TAU[scene]} "
-                f"--out {args.output_path}/{scene}/f1.json"
+                f"--out {args.output_path}/{scene}/f1.json" + extra
             )
 
 

@@ -179,6 +179,16 @@ def test_train_render_metrics_pipeline(tmp_path):
     assert os.path.exists(
         os.path.join(out, "point_cloud", "iteration_30", "point_cloud.ply"))
     assert os.path.exists(os.path.join(out, "chkpnt30.npz"))
+    # model-dir interchange files (reference scene/__init__.py:50-62)
+    assert os.path.exists(os.path.join(out, "input.ply"))
+    with open(os.path.join(out, "cameras.json")) as f:
+        cam_json = json.load(f)
+    assert len(cam_json) == 6 + 2  # train + test
+    assert {"id", "img_name", "width", "height", "position", "rotation",
+            "fx", "fy"} <= set(cam_json[0])
+    from tpu2dgs.model.splats import read_ply_vertices
+    vv = read_ply_vertices(os.path.join(out, "input.ply"))
+    assert {"x", "y", "z", "nx", "red"} <= set(vv)
 
     cli_render.main([
         "-m", out, "--quiet", "--skip_train",

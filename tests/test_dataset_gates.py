@@ -1,0 +1,94 @@
+"""Real-dataset convergence gates (skippable when data is absent).
+
+The synthetic suite cannot catch slow convergence regressions on real
+scenes; these gates run the reference protocols when datasets are present
+(set the env vars on a machine that has them):
+
+  TPU2DGS_LEGO_DIR   -> NeRF-synthetic lego root (transforms_train.json)
+  TPU2DGS_DTU_SCAN   -> one DTU scan dir (COLMAP layout)
+  TPU2DGS_DTU_GT_PLY -> the official points for the scan (Chamfer target)
+
+Thresholds follow the reference configs (BASELINE.md): lego trained with
+--white_background --lambda_normal 0 reaches ~>28 dB PSNR by 7K iterations;
+a DTU scan at -r 2 --depth_ratio 1 --lambda_dist 1000 lands near its
+published per-scan Chamfer (we gate loosely at 2x to absorb short runs).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+LEGO = os.environ.get("TPU2DGS_LEGO_DIR")
+DTU = os.environ.get("TPU2DGS_DTU_SCAN")
+DTU_GT = os.environ.get("TPU2DGS_DTU_GT_PLY")
+
+
+@pytest.mark.skipif(not LEGO, reason="TPU2DGS_LEGO_DIR not set")
+def test_lego_7k_psnr_gate(tmp_path):
+    import jax.numpy as jnp
+
+    from tpu2dgs.data.scene import Scene
+    from tpu2dgs.model import splats as splats_lib
+    from tpu2dgs.train import losses
+    from tpu2dgs.train.loop import TrainConfig, Trainer
+
+    scene = Scene.load(LEGO, resolution=2, white_background=True,
+                       eval_split=True)
+    cam0 = scene.train_cameras[0]
+    model = splats_lib.create_from_pcd(scene.points, scene.colors)
+    cfg = TrainConfig(iterations=7000, lambda_normal=0.0)
+    trainer = Trainer(
+        model, scene.train_cameras, cam0.width, cam0.height,
+        spatial_lr_scale=scene.extent, scene_extent=scene.extent,
+        train_cfg=cfg, white_background=True,
+        raster_kwargs=dict(backend="pallas"),
+    )
+    trainer.train(num_iters=7000, progress=True)
+    vals = []
+    for cam in scene.test_cameras[:25]:
+        out = trainer.render_view(cam)
+        vals.append(float(losses.psnr(jnp.clip(out["render"], 0, 1),
+                                      jnp.asarray(cam.image))))
+    psnr = float(np.mean(vals))
+    print(f"lego 7K PSNR: {psnr:.2f}")
+    assert psnr > 28.0, psnr
+
+
+@pytest.mark.skipif(not (DTU and DTU_GT),
+                    reason="TPU2DGS_DTU_SCAN / TPU2DGS_DTU_GT_PLY not set")
+def test_dtu_chamfer_gate(tmp_path):
+    import jax.numpy as jnp
+
+    from tpu2dgs.data.scene import Scene
+    from tpu2dgs.eval.geometry import (
+        chamfer_distance, downsample_points, sample_mesh_points)
+    from tpu2dgs.mesh.extract import GaussianExtractor
+    from tpu2dgs.model import splats as splats_lib
+    from tpu2dgs.model.splats import read_ply_vertices
+    from tpu2dgs.train.loop import TrainConfig, Trainer
+
+    scene = Scene.load(DTU, resolution=2, eval_split=False)
+    cam0 = scene.train_cameras[0]
+    model = splats_lib.create_from_pcd(scene.points, scene.colors)
+    cfg = TrainConfig(iterations=7000, lambda_dist=1000.0)
+    trainer = Trainer(
+        model, scene.train_cameras, cam0.width, cam0.height,
+        spatial_lr_scale=scene.extent, scene_extent=scene.extent,
+        train_cfg=cfg, raster_kwargs=dict(backend="pallas", depth_ratio=1.0),
+    )
+    trainer.train(num_iters=7000, progress=True)
+
+    ex = GaussianExtractor(trainer.render_view)
+    ex.reconstruction(scene.train_cameras)
+    verts, faces, _ = ex.extract_mesh_bounded(
+        voxel_size=0.004, sdf_trunc=0.016, depth_trunc=3.0)
+    data = sample_mesh_points(np.asarray(verts), np.asarray(faces),
+                              n=1_000_000)
+    gt_v = read_ply_vertices(DTU_GT)
+    gt = np.stack([gt_v["x"], gt_v["y"], gt_v["z"]], 1)
+    d2s, s2d, overall = chamfer_distance(
+        downsample_points(data, 0.2), downsample_points(gt, 0.2),
+        max_dist=20.0)
+    print(f"DTU chamfer: d2s {d2s:.3f} s2d {s2d:.3f} overall {overall:.3f}")
+    assert overall < 2.0, overall  # loose 2x gate for the 7K-iter run

@@ -1,0 +1,102 @@
+"""End-to-end multi-chip training: the Trainer with a device mesh (tile
+rows sharded over 8 virtual CPU devices, splat grads psum'd by the
+shard_map transpose) must reproduce single-device training through
+densification and capacity growth (VERDICT round-1 gap: multi-chip was
+harness-level only)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu2dgs.model import splats as splats_lib
+from tpu2dgs.parallel.sharded import make_mesh
+from tpu2dgs.raster.api import RasterSettings, render
+from tpu2dgs.train import losses
+from tpu2dgs.train.loop import TrainConfig, Trainer
+
+from test_train import _gt_scene, _orbit_camera
+
+
+def _make_trainer(model, cams, w, h, mesh):
+    cfg = TrainConfig(
+        densify_from_iter=20, densify_until_iter=80,
+        densification_interval=25, opacity_reset_interval=10_000,
+        normal_from_iter=40, dist_from_iter=10_000, lambda_normal=0.01,
+    )
+    return Trainer(
+        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+        train_cfg=cfg, max_sh_degree=0,
+        raster_kwargs=dict(backend="tiled", tile_px=8, coarse_tiles=1,
+                           bin_capacity=128, tile_capacity=128),
+        seed=1, mesh=mesh,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_trainer_matches_single_device():
+    w = h = 64  # 8 tile rows of 8 px -> one per device
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=16, seed=5)
+    cams = [_orbit_camera(i, a, w=w, h=h)
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 6, endpoint=False))]
+    settings = RasterSettings(width=w, height=h, sh_degree=0, backend="tiled",
+                              tile_px=8, coarse_tiles=1,
+                              bin_capacity=128, tile_capacity=128)
+    for cam in cams:
+        out = render(cam.arrays(), settings, *gt_splats, jnp.zeros(3))
+        cam.image = np.asarray(out["render"])
+
+    rng = np.random.default_rng(3)
+    init_pts = gt_xyz + rng.normal(scale=0.04, size=gt_xyz.shape).astype(np.float32)
+
+    def run(mesh, iters):
+        model = splats_lib.create_from_pcd(init_pts, gt_rgb, capacity=64)
+        tr = _make_trainer(model, cams, w, h, mesh)
+        tr.train(num_iters=iters)
+        return tr
+
+    # Short horizon: parameters must match tightly (before f32
+    # reassociation noise is amplified by Adam's per-step normalization).
+    s10 = run(None, 10)
+    m10 = run(make_mesh(8), 10)
+    np.testing.assert_allclose(
+        np.asarray(m10.model.params.xyz),
+        np.asarray(s10.model.params.xyz), atol=2e-5)
+
+    # Long horizon through densify + growth: identical structural
+    # decisions, equivalent quality.
+    single = run(None, 100)
+    sharded = run(make_mesh(8), 100)
+    assert int(single.model.num_live()) == int(sharded.model.num_live())
+    assert single.model.capacity == sharded.model.capacity
+    diff = np.abs(np.asarray(sharded.model.params.xyz)
+                  - np.asarray(single.model.params.xyz))
+    assert float(np.quantile(diff, 0.95)) < 5e-3, float(diff.max())
+
+    # And the sharded model actually fits the scene.
+    vals = []
+    for cam in cams[:3]:
+        out = sharded.render_view(cam)
+        vals.append(float(losses.psnr(jnp.clip(out["render"], 0, 1),
+                                      jnp.asarray(cam.image))))
+    assert np.mean(vals) > 20.0, vals
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pallas_strips_interpret():
+    """The flagship Pallas strips under shard_map (interpret mode on the
+    CPU mesh) agree with the unsharded pallas render."""
+    w, h = 128, 128  # one BX column, 8 BY tile rows -> 2 strips of 4 on 2 dev
+    gt_splats, _, _ = _gt_scene(n=24, seed=6)
+    settings = RasterSettings(width=w, height=h, sh_degree=0,
+                              backend="pallas", bin_capacity=128,
+                              tile_capacity=128, debug=True)
+    bg = jnp.array([0.2, 0.1, 0.3])
+    cam = _orbit_camera(0, 0.7, w=w, h=h)
+    ref = render(cam.arrays(), settings, *gt_splats, bg)
+    mesh = make_mesh(2)
+    out = render(cam.arrays(), settings, *gt_splats, bg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["surf_depth"]),
+                               np.asarray(ref["surf_depth"]), atol=1e-4)

@@ -107,6 +107,8 @@ def main(argv=None):
             cam_arrays, settings, p.xyz, jnp.exp(p.scaling), p.rotation,
             jax.nn.sigmoid(p.opacity[:, 0]), splats_lib.features(p),
             bg, live=model.live,
+            convert_shs_python=pipe_p.convert_SHs_python,
+            compute_cov3d_python=pipe_p.compute_cov3D_python,
         )
 
     def render_fn(cam):

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--disable_viewer", action="store_true", default=False)
     parser.add_argument("--max_capacity", type=int, default=4_194_304)
     parser.add_argument("--camera_batch", type=int, default=1)
+    parser.add_argument(
+        "--n_devices", type=int, default=1,
+        help="shard rendering over this many devices (0 = all available); "
+        "tile rows are split across a jax.sharding.Mesh and splat "
+        "gradients are psum'd (tpu2dgs/parallel/sharded.py)")
     return parser
 
 
@@ -82,6 +87,9 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         white_background=model_p.white_background,
         eval_split=model_p.eval, seed=args.seed,
     )
+    # Fresh training: persist input.ply + cameras.json into the model dir
+    # (reference scene/__init__.py:50-62; read by ecosystem viewers).
+    scene.save_model_info(model_p.model_path)
     cam0 = scene.train_cameras[0]
     w, h = cam0.width, cam0.height
     print(f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} test "
@@ -143,13 +151,21 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
                 "num_visible": metrics["num_visible"],
             })
 
+    mesh = None
+    n_dev = args.n_devices if args.n_devices != 0 else len(jax.devices())
+    if n_dev > 1:
+        from tpu2dgs.parallel.sharded import make_mesh
+
+        mesh = make_mesh(n_dev)
+        print(f"Sharding tile rows over {n_dev} devices")
+
     trainer = Trainer(
         model, scene.train_cameras, w, h,
         spatial_lr_scale=scene.extent, scene_extent=scene.extent,
         train_cfg=train_cfg, opt_cfg=opt_cfg, raster_kwargs=raster_kwargs,
         white_background=model_p.white_background,
         max_sh_degree=model_p.sh_degree, seed=args.seed,
-        log_fn=log_fn, max_capacity=args.max_capacity,
+        log_fn=log_fn, max_capacity=args.max_capacity, mesh=mesh,
     )
     if not args.disable_viewer:
         from tpu2dgs.viewer.network_gui import NetworkGUI
@@ -186,19 +202,53 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         trainer.train(num_iters=n, progress=not args.quiet)
         it = trainer.step
 
-        if it in test_set and scene.test_cameras:
-            vals = []
-            for j, cam in enumerate(
-                scene.test_cameras[: min(8, len(scene.test_cameras))]
-            ):
-                out = trainer.render_view(cam)
-                vals.append(float(losses.psnr(
-                    jnp.clip(out["render"], 0, 1), jnp.asarray(cam.image))))
-                if j == 0:
-                    logger.images(it, logger.render_panels(out))
-            logger.scalars(it, {"test/psnr": float(np.mean(vals))})
-            print(f"[ITER {it}] eval PSNR {np.mean(vals):.2f} "
-                  f"({len(vals)} views)")
+        if it in test_set:
+            # training_report parity (reference train.py:193-248): evaluate
+            # test AND a fixed train-camera slice, log L1+PSNR per config,
+            # per-view image panels (first 5), opacity histogram and
+            # total-points scalar.
+            n_train = len(scene.train_cameras)
+            configs = [
+                ("test", scene.test_cameras),
+                ("train", [scene.train_cameras[idx % n_train]
+                           for idx in range(5, 30, 5)]),
+            ]
+            first_test_it = min(test_set) if test_set else it
+            for name, cams in configs:
+                if not cams:
+                    continue
+                l1s, psnrs = [], []
+                for j, cam in enumerate(cams):
+                    out = trainer.render_view(cam)
+                    img = jnp.clip(out["render"], 0, 1)
+                    gtimg = jnp.clip(jnp.asarray(cam.image), 0, 1)
+                    l1s.append(float(losses.l1_loss(img, gtimg)))
+                    psnrs.append(float(losses.psnr(img, gtimg)))
+                    if j < 5:
+                        panels = logger.render_panels(out)
+                        prefix = f"{name}_view_{cam.image_name}"
+                        logger.images(
+                            it, {f"{prefix}/{k}": v
+                                 for k, v in panels.items()})
+                        if it == first_test_it:
+                            logger.images(
+                                it, {f"{prefix}/ground_truth":
+                                     np.asarray(gtimg)})
+                l1_m, psnr_m = float(np.mean(l1s)), float(np.mean(psnrs))
+                print(f"\n[ITER {it}] Evaluating {name}: "
+                      f"L1 {l1_m:.5f} PSNR {psnr_m:.2f}")
+                logger.scalars(it, {
+                    f"{name}/loss_viewpoint - l1_loss": l1_m,
+                    f"{name}/loss_viewpoint - psnr": psnr_m,
+                })
+            import jax as _jax
+
+            opac = np.asarray(_jax.nn.sigmoid(
+                trainer.model.params.opacity[:, 0]))
+            live = np.asarray(trainer.model.live)
+            logger.histogram(it, "scene/opacity_histogram", opac[live])
+            logger.scalars(
+                it, {"total_points": int(trainer.model.num_live())})
         if it in save_set:
             out_dir = os.path.join(
                 model_p.model_path, "point_cloud", f"iteration_{it}")

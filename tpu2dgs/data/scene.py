@@ -252,24 +252,65 @@ class Scene:
     """Assembled scene: cameras + seed point cloud + normalization.
 
     The reference `Scene` also owns the model; here they are decoupled —
-    create the model with `splats.create_from_pcd(scene.points, ...)`."""
+    create the model with `splats.create_from_pcd(scene.points, ...)`.
+
+    `train_cameras`/`test_cameras` are the resolution_scale=1.0 lists; other
+    scales requested at load time are available via `get_train_cameras` /
+    `get_test_cameras` (reference scene/__init__.py:25,71)."""
 
     info: SceneInfo
     train_cameras: list
     test_cameras: list
+    train_by_scale: dict = dataclasses.field(default_factory=dict)
+    test_by_scale: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def load(cls, path: str, images_dir: Optional[str] = None,
              resolution: int = -1, white_background: bool = False,
              eval_split: bool = False, shuffle: bool = True,
-             seed: int = 0) -> "Scene":
+             seed: int = 0, resolution_scales=(1.0,)) -> "Scene":
         info = read_scene(path, images_dir, white_background, eval_split)
-        train = [load_camera(c, resolution) for c in info.train_cameras]
-        test = [load_camera(c, resolution) for c in info.test_cameras]
-        if shuffle:
-            rng = np.random.default_rng(seed)
-            rng.shuffle(train)
-        return cls(info=info, train_cameras=train, test_cameras=test)
+        train_by_scale, test_by_scale = {}, {}
+        rng = np.random.default_rng(seed)
+        order = None
+        for scale in resolution_scales:
+            train = [load_camera(c, resolution, scale)
+                     for c in info.train_cameras]
+            if shuffle:
+                if order is None:  # same shuffle across scales
+                    order = rng.permutation(len(train))
+                train = [train[i] for i in order]
+            train_by_scale[scale] = train
+            test_by_scale[scale] = [load_camera(c, resolution, scale)
+                                    for c in info.test_cameras]
+        first = resolution_scales[0] if 1.0 not in train_by_scale else 1.0
+        return cls(info=info,
+                   train_cameras=train_by_scale[first],
+                   test_cameras=test_by_scale[first],
+                   train_by_scale=train_by_scale,
+                   test_by_scale=test_by_scale)
+
+    def get_train_cameras(self, scale: float = 1.0) -> list:
+        return self.train_by_scale.get(scale, self.train_cameras)
+
+    def get_test_cameras(self, scale: float = 1.0) -> list:
+        return self.test_by_scale.get(scale, self.test_cameras)
+
+    def save_model_info(self, model_path: str) -> None:
+        """Write `input.ply` + `cameras.json` into the model directory.
+
+        Ecosystem viewers and the reference's own tooling read these on
+        fresh trainings (reference scene/__init__.py:50-62)."""
+        os.makedirs(model_path, exist_ok=True)
+        if self.points is not None:
+            store_ply(os.path.join(model_path, "input.ply"),
+                      self.points, self.colors)
+        json_cams = []
+        camlist = list(self.test_cameras) + list(self.train_cameras)
+        for cid, cam in enumerate(camlist):
+            json_cams.append(camera_to_json(cid, cam))
+        with open(os.path.join(model_path, "cameras.json"), "w") as f:
+            json.dump(json_cams, f)
 
     @property
     def extent(self) -> float:
@@ -282,3 +323,50 @@ class Scene:
     @property
     def colors(self) -> np.ndarray:
         return self.info.colors
+
+
+def camera_to_json(cid: int, cam) -> dict:
+    """Reference utils/camera_utils.py:64-83 JSON camera entry."""
+    rt = np.zeros((4, 4))
+    rt[:3, :3] = cam.R.transpose()
+    rt[:3, 3] = cam.T
+    rt[3, 3] = 1.0
+    w2c = np.linalg.inv(rt)
+    pos = w2c[:3, 3]
+    rot = w2c[:3, :3]
+    return {
+        "id": cid,
+        "img_name": cam.image_name,
+        "width": cam.width,
+        "height": cam.height,
+        "position": pos.tolist(),
+        "rotation": [x.tolist() for x in rot],
+        "fy": fov2focal(cam.fovy, cam.height),
+        "fx": fov2focal(cam.fovx, cam.width),
+    }
+
+
+def store_ply(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    """Binary PLY with the reference storePly attribute layout
+    (dataset_readers.py:115-130): x,y,z,nx,ny,nz,red,green,blue."""
+    n = xyz.shape[0]
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    dtype = np.dtype([
+        ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+        ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+        ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+    ])
+    rec = np.zeros(n, dtype=dtype)
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    col = np.clip(np.asarray(rgb) * 255.0, 0, 255).astype(np.uint8)
+    rec["red"], rec["green"], rec["blue"] = col[:, 0], col[:, 1], col[:, 2]
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())

@@ -79,10 +79,13 @@ def fscore(data_pts: np.ndarray, gt_pts: np.ndarray, tau: float):
 
 
 def align_icp(source: np.ndarray, target: np.ndarray, iters: int = 20,
-              max_corr: float | None = None):
+              max_corr: float | None = None, with_scale: bool = False):
     """Point-to-point ICP returning a 4x4 transform (reference
-    eval_tnt/run.py:156-161 refinement stage; RANSAC pre-alignment is
-    unnecessary when trajectories share a frame)."""
+    eval_tnt/run.py:156-161 refinement; the reference estimator is
+    TransformationEstimationPointToPoint(with_scaling=True), enabled here
+    via `with_scale`)."""
+    from tpu2dgs.eval.trajectory import umeyama
+
     T = np.eye(4)
     src = source.copy()
     tree = cKDTree(target)
@@ -94,17 +97,7 @@ def align_icp(source: np.ndarray, target: np.ndarray, iters: int = 20,
                 break
         else:
             keep = np.ones(len(src), bool)
-        a = src[keep]
-        b = target[idx[keep]]
-        ca, cb = a.mean(0), b.mean(0)
-        H = (a - ca).T @ (b - cb)
-        U, _, Vt = np.linalg.svd(H)
-        d = np.sign(np.linalg.det(Vt.T @ U.T))
-        R = Vt.T @ np.diag([1, 1, d]) @ U.T
-        t = cb - R @ ca
-        step = np.eye(4)
-        step[:3, :3] = R
-        step[:3, 3] = t
+        step = umeyama(src[keep], target[idx[keep]], with_scale=with_scale)
         T = step @ T
-        src = src @ R.T + t
+        src = src @ step[:3, :3].T + step[:3, 3]
     return T

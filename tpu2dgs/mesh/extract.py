@@ -90,13 +90,17 @@ class GaussianExtractor:
         return tsdf_lib.extract_mesh(vol)
 
     def extract_mesh_unbounded(self, resolution: int = 1024,
-                               sdf_trunc: Optional[float] = None):
+                               sdf_trunc: Optional[float] = None,
+                               slab_batch: int = 16):
         """Contracted-space TSDF + marching tetrahedra
         (reference mesh_utils.py:184-279). The grid spans the contracted
         cube [-R, R]^3 with R slightly under 2; world = center +
-        radius * uncontract(y)."""
-        # Practical cap: contracted grids don't need mcubes' 512-divisible
-        # block logic here — the whole grid is fused slab-by-slab.
+        radius * uncontract(y).
+
+        Fusion is fully device-resident: all view depth/color maps are
+        stacked once, and each `slab_batch`-slab block of the grid is fused
+        against every view with a single jitted `lax.scan` — res/slab_batch
+        dispatches total instead of the old res x n_views host loop."""
         res = int(resolution)
         r = 1.8
         if sdf_trunc is None:
@@ -109,36 +113,63 @@ class GaussianExtractor:
         # normalize world so cameras sit inside the unit sphere:
         # y = contract((x - center) / radius)
         gy, gz = np.meshgrid(axis, axis, indexing="ij")
-        cams = [c.arrays() for c in self.cameras]
-        depths = [jnp.asarray(self._masked_depth(i, True)) for i in range(len(cams))]
-        rgbs = [jnp.asarray(m.transpose(1, 2, 0)) for m in self.rgbmaps]
+        cams_stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[c.arrays() for c in self.cameras])
+        depths = jnp.stack([
+            jnp.asarray(self._masked_depth(i, True))
+            for i in range(len(self.cameras))
+        ])                                             # (V, H, W)
+        rgbs = jnp.stack([
+            jnp.asarray(m.transpose(1, 2, 0)) for m in self.rgbmaps
+        ])                                             # (V, H, W, 3)
+
+        radius = float(self.radius)
+        center = jnp.asarray(self.center, jnp.float32)
+        trunc = float(sdf_trunc)
+
+        @jax.jit
+        def fuse_block(pts_c):
+            """pts_c (B, res, res, 3) contracted grid -> fused (t, w, c)."""
+            shape = pts_c.shape[:3]
+            flat_c = pts_c.reshape(-1, 3)
+            world = tsdf_lib.uncontract(flat_c) * radius + center[None, :]
+            init = (
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros((*shape, 3), jnp.float32),
+            )
+
+            def step(state, view):
+                cam, depth, rgb = view
+                t, wgt, c = _fuse_world_slab(
+                    state[0], state[1], state[2], world, flat_c, cam,
+                    depth, rgb, sdf_trunc=trunc, w=w, h=h, radius=radius)
+                return (t, wgt, c), None
+
+            (t, wgt, c), _ = jax.lax.scan(
+                step, init, (cams_stacked, depths, rgbs))
+            return t, wgt, c
 
         full_tsdf = np.empty((res, res, res), np.float32)
         full_weight = np.empty((res, res, res), np.float32)
         full_color = np.empty((res, res, res, 3), np.float32)
-        for ix, x in enumerate(axis):
-            pts_c = np.stack(
-                [np.full_like(gy, x), gy, gz], axis=-1
-            ).reshape(-1, 3)
-            world = (
-                np.asarray(tsdf_lib.uncontract(jnp.asarray(pts_c)))
-                * self.radius + self.center[None, :]
-            )
-            t = jnp.zeros((1, res, res), jnp.float32)
-            wgt = jnp.zeros_like(t)
-            c = jnp.zeros((1, res, res, 3), jnp.float32)
-            pts_world = jnp.asarray(world, jnp.float32)
-            # contracted magnitude for adaptive trunc comes from pts_c
-            pts_for_trunc = jnp.asarray(pts_c, jnp.float32)
-            for cam, depth, rgb in zip(cams, depths, rgbs):
-                t, wgt, c = _fuse_world_slab(
-                    t, wgt, c, pts_world, pts_for_trunc, cam, depth, rgb,
-                    sdf_trunc=float(sdf_trunc), w=w, h=h,
-                    radius=float(self.radius),
-                )
-            full_tsdf[ix] = np.asarray(t[0])
-            full_weight[ix] = np.asarray(wgt[0])
-            full_color[ix] = np.asarray(c[0])
+        for x0 in range(0, res, slab_batch):
+            xs = axis[x0:x0 + slab_batch]
+            b = len(xs)
+            pts_c = np.stack([
+                np.broadcast_to(xs[:, None, None], (b, res, res)),
+                np.broadcast_to(gy[None], (b, res, res)),
+                np.broadcast_to(gz[None], (b, res, res)),
+            ], axis=-1)
+            if b < slab_batch:  # keep one compiled shape for all blocks
+                pts_c = np.concatenate([
+                    pts_c,
+                    np.full((slab_batch - b, res, res, 3), 10.0, np.float32),
+                ])
+            t, wgt, c = fuse_block(jnp.asarray(pts_c, jnp.float32))
+            full_tsdf[x0:x0 + b] = np.asarray(t[:b])
+            full_weight[x0:x0 + b] = np.asarray(wgt[:b])
+            full_color[x0:x0 + b] = np.asarray(c[:b])
 
         from tpu2dgs.mesh.marching import marching_tetrahedra
 

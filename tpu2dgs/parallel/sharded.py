@@ -69,7 +69,7 @@ def rasterize_sharded(
         def strip_fn(splats, bg):
             idx = lax.axis_index(axis)
             img, allmap = pb.rasterize_pallas(
-                splats, settings, bg,
+                splats, settings, bg, interpret=settings.debug,
                 tile_row0=idx * rows_per, nty_local=rows_per,
             )
             allmap = {k: v for k, v in allmap.items()

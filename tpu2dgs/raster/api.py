@@ -61,13 +61,39 @@ def render(
     live: Optional[jnp.ndarray] = None,
     override_color: Optional[jnp.ndarray] = None,
     mesh=None,
+    convert_shs_python: bool = False,
+    compute_cov3d_python: bool = False,
+    axes_override=None,
 ):
     """Render one view. Returns the reference-contract dict.
 
     With `mesh` (a jax.sharding.Mesh with a "rows" axis), the tiled backend
-    shards image tile rows across devices (tpu2dgs/parallel/sharded.py)."""
+    shards image tile rows across devices (tpu2dgs/parallel/sharded.py).
+
+    `convert_shs_python` / `compute_cov3d_python` mirror the reference
+    PipelineParams (gaussian_renderer/__init__.py:57-95): SH->RGB and the
+    splat tangent axes are evaluated OUTSIDE preprocess and fed back through
+    `override_color` / `axes_override`. On TPU both paths are XLA either
+    way; the flags exist for contract parity and for callers that supply a
+    precomputed basis (the reference's cov3D_precomp)."""
     w, h = settings.width, settings.height
     opacity = opacity.reshape(-1)
+
+    if compute_cov3d_python and axes_override is None:
+        from tpu2dgs.core import transforms
+
+        # preprocess applies scale_modifier to override axes itself
+        # (mirroring the reference passing scaling_modifier into the
+        # covariance precompute, gaussian_renderer/__init__.py:60).
+        axes_override = transforms.splat_axes(scaling, rotation)
+    if convert_shs_python and override_color is None:
+        from tpu2dgs.core import sh as sh_lib
+        from tpu2dgs.core.transforms import normalize
+
+        dirs = normalize(xyz - cam.cam_center[None, :])
+        shs = jnp.swapaxes(features, -1, -2)
+        override_color = jnp.maximum(
+            sh_lib.eval_sh(settings.sh_degree, shs, dirs) + 0.5, 0.0)
 
     splats = pre.preprocess(
         xyz,
@@ -83,6 +109,7 @@ def render(
         scale_modifier=settings.scale_modifier,
         live=live,
         override_color=override_color,
+        axes_override=axes_override,
     )
 
     if settings.backend == "oracle":
@@ -99,11 +126,16 @@ def render(
 
             image, allmap = rasterize_tiled(splats, settings, bg_color)
     elif settings.backend == "pallas":
-        from tpu2dgs.raster.pallas_backend import rasterize_pallas
+        if mesh is not None:
+            from tpu2dgs.parallel.sharded import rasterize_sharded
 
-        image, allmap = rasterize_pallas(
-            splats, settings, bg_color, interpret=settings.debug
-        )
+            image, allmap = rasterize_sharded(splats, settings, bg_color, mesh)
+        else:
+            from tpu2dgs.raster.pallas_backend import rasterize_pallas
+
+            image, allmap = rasterize_pallas(
+                splats, settings, bg_color, interpret=settings.debug
+            )
     else:
         raise ValueError(f"unknown raster backend {settings.backend!r}")
 

@@ -55,6 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu2dgs.raster import binning
+from tpu2dgs.raster import select_kernel
 from tpu2dgs.raster.common import (
     ALPHA_CLAMP,
     ALPHA_MIN,
@@ -133,10 +134,13 @@ def _splat_response(r, px, py):
 
 
 def _read_rec(rec_ref, jj):
-    # one dynamic-sublane vector row read, then lane extracts from the
-    # register (cheaper than 21 separate VMEM scalar loads)
-    row = rec_ref[0, pl.ds(jj, 1), :]  # (1, REC)
-    return [row[0, k] for k in range(21)]
+    # rec_ref is the FLAT (1, C*REC) record block in SMEM: per-splat
+    # constants are read as true scalars. Scalar SMEM loads feed VPU
+    # broadcast operands directly; the previous VMEM row-read + 21 lane
+    # extracts cost ~130 cycles/splat in cross-lane relayouts (measured
+    # 368 -> 240 cy/step on v5e when switched to SMEM).
+    base = jj * REC
+    return [rec_ref[0, base + k] for k in range(21)]
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nbx: int,
@@ -398,8 +402,10 @@ def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # Flat (1, C*REC) in SMEM: per-splat scalar reads, no lane
+            # relayouts, and no 24->128 lane padding of the record axis.
+            pl.BlockSpec((1, c * REC), lambda i, counts, row0: (i, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, OUT_CH, BY, BX),
                                lambda i, counts, row0: (i, 0, 0, 0),
@@ -410,7 +416,7 @@ def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3)
+    )(counts, row0, rec3.reshape(t, c * REC))
 
 
 def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
@@ -420,8 +426,8 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c * REC), lambda i, counts, row0: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
@@ -436,7 +442,7 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, c, REC), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3, out, dout)
+    )(counts, row0, rec3.reshape(t, c * REC), out, dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -484,7 +490,8 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     k_vis = min(settings.vis_capacity or n, n)
 
     comp, tile_pos, tile_valid, raw_counts, bin_counts = _bin_rect(
-        splats, nbx, nty, bin_cap, cap, tile_row0, k_vis)
+        splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
+        interpret=interpret)
     counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
     pad_cols = (-tile_pos.shape[1]) % CHUNK
     if pad_cols:
@@ -523,36 +530,91 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     return image, allmap
 
 
-def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis):
-    """Rectangular-tile binning: coarse bins = 4 tile rows x 1 tile col.
+def _round128(x: int) -> int:
+    return max(128, -(-x // 128) * 128)
 
-    Built on binning.py's depth compaction + prefix-sum selection: every
-    list is depth-ascending by construction (positional order in the
-    compacted space), deterministic at equal depths."""
+
+def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
+              col_cap=32768, interpret=False):
+    """Three-level kernel binning: columns -> coarse bins -> fine tiles.
+
+    Every level is one call of the Pallas stream-compaction kernel
+    (select_kernel.select_rows); XLA only gathers candidate boxes between
+    levels. Positional order in the depth-compacted space makes every
+    list front-to-back sorted and deterministic.
+
+      L1: screen columns (one BX-wide tile column each) select from the
+          global compacted array — the only level that walks all K splats,
+          and there are only nbx rows of it.
+      L2: coarse bins (1 column x 4 tile rows) select from their column's
+          candidates.
+      L3: fine (BX x BY) tiles select from their bin's candidates.
+    """
     cby = 4  # coarse bin = (BX, 4*BY) px
     nby_c = -(-nty // cby)
+    f32 = jnp.float32
 
     comp = binning.compact_visible(splats, k_vis)
+    kp = _round128(k_vis)
+    gboxes = select_kernel.pad_candidates(
+        (comp.x0[None], comp.x1[None], comp.y0[None], comp.y1[None]), kp)
 
+    col_cap = _round128(min(col_cap, kp))
+    bin_capk = _round128(min(bin_cap, col_cap))
+    capk = _round128(min(cap, bin_capk))
+
+    # L1: columns over the strip's full y range.
+    y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
+    y_hi = y_lo + (nty * BY - 1)
+    cix = jnp.arange(nbx, dtype=f32)
+    col_pos, col_cnt = select_kernel.select_rows(
+        (cix * BX, cix * BX + (BX - 1), y_lo, y_hi),
+        gboxes, jnp.zeros((nbx,), jnp.int32), col_cap, interpret=interpret)
+
+    col_iota = jnp.arange(col_cap, dtype=jnp.int32)[None, :]
+    col_ok = col_iota < jnp.minimum(col_cnt, col_cap)[:, None]
+    cboxes = (
+        jnp.where(col_ok, comp.x0[col_pos], 1e9),
+        jnp.where(col_ok, comp.x1[col_pos], -1e9),
+        jnp.where(col_ok, comp.y0[col_pos], 1e9),
+        jnp.where(col_ok, comp.y1[col_pos], -1e9),
+    )
+
+    # L2: coarse bins from their column's candidates (y test only matters).
     nb = nby_c * nbx
-    bix = jnp.arange(nb, dtype=jnp.float32) % nbx
-    biy = (jnp.arange(nb, dtype=jnp.float32) // nbx
-           + jnp.float32(tile_row0) / cby)
-    bx0 = bix * BX
-    bx1 = bix * BX + (BX - 1)
-    by0 = biy * (BY * cby)
-    by1 = biy * (BY * cby) + (BY * cby - 1)
-    cand_pos, cand_valid, bin_counts = binning.select_coarse(
-        comp, bx0, bx1, by0, by1, bin_cap)
+    bix = jnp.arange(nb, dtype=f32) % nbx
+    biy = (jnp.arange(nb, dtype=f32) // nbx
+           + jnp.asarray(tile_row0, f32) / cby)
+    bin_pos, bin_counts = select_kernel.select_rows(
+        (bix * BX, bix * BX + (BX - 1),
+         biy * (BY * cby), biy * (BY * cby) + (BY * cby - 1)),
+        cboxes, (jnp.arange(nb, dtype=jnp.int32) % nbx), bin_capk,
+        interpret=interpret)
 
+    bin_col = jnp.arange(nb, dtype=jnp.int32) % nbx
+    bin_glob = col_pos[bin_col[:, None], bin_pos]        # (NB, bin_capk)
+    bin_iota = jnp.arange(bin_capk, dtype=jnp.int32)[None, :]
+    bin_ok = bin_iota < jnp.minimum(bin_counts, bin_capk)[:, None]
+    bboxes = (
+        jnp.where(bin_ok, comp.x0[bin_glob], 1e9),
+        jnp.where(bin_ok, comp.x1[bin_glob], -1e9),
+        jnp.where(bin_ok, comp.y0[bin_glob], 1e9),
+        jnp.where(bin_ok, comp.y1[bin_glob], -1e9),
+    )
+
+    # L3: fine tiles from their bin's candidates.
     t = nty * nbx
     tix = jnp.arange(t, dtype=jnp.int32) % nbx
     tiy = jnp.arange(t, dtype=jnp.int32) // nbx
     bin_of_tile = (tiy // cby) * nbx + tix
-    tx0 = (tix * BX).astype(jnp.float32)
-    tx1 = tx0 + (BX - 1)
-    ty0 = ((tiy + tile_row0) * BY).astype(jnp.float32)
-    ty1 = ty0 + (BY - 1)
-    tile_pos, tile_valid, counts = binning.select_fine(
-        comp, cand_pos, cand_valid, bin_of_tile, tx0, tx1, ty0, ty1, cap)
+    tx0 = (tix * BX).astype(f32)
+    ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
+    tile_loc, counts = select_kernel.select_rows(
+        (tx0, tx0 + (BX - 1), ty0, ty0 + (BY - 1)),
+        bboxes, bin_of_tile, capk, interpret=interpret)
+
+    tile_pos = bin_glob[bin_of_tile[:, None], tile_loc][:, :cap]
+    tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
+    tile_pos = jnp.where(tile_valid, tile_pos, 0)
     return comp, tile_pos, tile_valid, counts, bin_counts

@@ -46,6 +46,20 @@ class TrainLogger:
         self._jsonl.write(json.dumps(clean) + "\n")
         self._jsonl.flush()
 
+    def histogram(self, step: int, name: str, values) -> None:
+        """TB histogram (reference train.py's scene/opacity_histogram);
+        the JSONL fallback records summary quantiles."""
+        values = np.asarray(values)
+        if values.size == 0:
+            return
+        if self.writer is not None:
+            self.writer.add_histogram(name, values, step)
+        self.scalars(step, {
+            f"{name}/mean": float(values.mean()),
+            f"{name}/p10": float(np.percentile(values, 10)),
+            f"{name}/p90": float(np.percentile(values, 90)),
+        })
+
     def images(self, step: int, panels: dict) -> None:
         """panels: name -> (C,H,W) float array in [0,1]."""
         if self.writer is None:

@@ -196,6 +196,7 @@ class Trainer:
         seed: int = 0,
         log_fn: Optional[Callable[[int, dict], None]] = None,
         max_capacity: int = 4_194_304,
+        mesh=None,
     ):
         self.model = model
         self.max_capacity = max_capacity
@@ -213,6 +214,9 @@ class Trainer:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.log_fn = log_fn
+        # Multi-chip: a jax.sharding.Mesh with a "rows" axis shards image
+        # tile rows across devices and psums splat grads (parallel/sharded).
+        self.mesh = mesh
         self.step = 0
         self.ema_loss = 0.0
         self._cam_stack: list[int] = []
@@ -254,7 +258,8 @@ class Trainer:
         if key not in self._step_fns:
             self._step_fns[key] = make_train_step(
                 self._settings(), self.opt_cfg, self.cfg.lambda_dssim,
-                self.spatial_lr_scale, camera_batch=self.cfg.camera_batch,
+                self.spatial_lr_scale, mesh=self.mesh,
+                camera_batch=self.cfg.camera_batch,
             )
         return self._step_fns[key]
 
