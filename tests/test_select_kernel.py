@@ -1,0 +1,107 @@
+"""Pallas stream-compaction kernel vs the XLA prefix-sum reference
+(binning.first_k_hits): exact list equality in interpret mode, including
+the overlapping-write edge cases (row-boundary crossings, exact-multiple
+counts, empty rows, capacity overflow)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu2dgs.raster import binning
+from tpu2dgs.raster.select_kernel import select_rows
+
+
+def _check(rects, boxes, parent, cap):
+    pos, counts = select_rows(rects, boxes, parent, cap, interpret=True)
+    rx0, rx1, ry0, ry1 = rects
+    cx0, cx1, cy0, cy1 = boxes
+    for r in range(rx0.shape[0]):
+        p = int(parent[r])
+        hit = ((cx0[p] <= rx1[r]) & (cx1[p] >= rx0[r])
+               & (cy0[p] <= ry1[r]) & (cy1[p] >= ry0[r]))
+        ref_pos, _, ref_counts = binning.first_k_hits(hit[None], cap)
+        assert int(counts[r]) == int(ref_counts[0]), r
+        k = min(int(ref_counts[0]), cap)
+        np.testing.assert_array_equal(
+            np.asarray(pos[r][:k]), np.asarray(ref_pos[0][:k]),
+            err_msg=f"row {r}")
+        # zero-fill past the count
+        assert np.all(np.asarray(pos[r][k:]) == 0), r
+
+
+def test_select_random():
+    rng = np.random.default_rng(0)
+    NP, M, R, CAP = 3, 1024, 12, 256
+    cx0 = jnp.asarray(rng.uniform(0, 800, (NP, M)), jnp.float32)
+    cx1 = cx0 + jnp.asarray(rng.uniform(5, 60, (NP, M)), jnp.float32)
+    cy0 = jnp.asarray(rng.uniform(0, 800, (NP, M)), jnp.float32)
+    cy1 = cy0 + jnp.asarray(rng.uniform(5, 60, (NP, M)), jnp.float32)
+    rx0 = jnp.asarray(rng.uniform(0, 700, R), jnp.float32)
+    ry0 = jnp.asarray(rng.uniform(0, 700, R), jnp.float32)
+    parent = jnp.asarray(rng.integers(0, NP, R), jnp.int32)
+    _check((rx0, rx0 + 127, ry0, ry0 + 63),
+           (cx0, cx1, cy0, cy1), parent, CAP)
+
+
+def test_select_dense_and_boundaries():
+    """All-hit rows exercise every 128-row crossing; counts that are exact
+    multiples of 128 exercise the no-partial-flush path."""
+    M, R = 1024, 4
+    big0 = jnp.zeros((1, M), jnp.float32)
+    big1 = jnp.full((1, M), 1000.0, jnp.float32)
+    boxes = (big0, big1, big0, big1)  # every candidate hits everything
+    rx0 = jnp.zeros(R, jnp.float32)
+    rects = (rx0, rx0 + 10, rx0, rx0 + 10)
+    parent = jnp.zeros(R, jnp.int32)
+    _check(rects, boxes, parent, 512)    # counts (1024) > cap (512)
+    _check(rects, boxes, parent, 1024)   # counts == cap, multiple of 128
+
+
+def test_select_empty_and_sparse():
+    M = 1024
+    rng = np.random.default_rng(1)
+    cx0 = jnp.asarray(rng.uniform(0, 800, (1, M)), jnp.float32)
+    boxes = (cx0, cx0 + 1.0, cx0, cx0 + 1.0)
+    # row 0 hits nothing; row 1 hits a handful
+    rects = (jnp.array([3000.0, 100.0]), jnp.array([3100.0, 400.0]),
+             jnp.array([3000.0, 100.0]), jnp.array([3100.0, 400.0]))
+    _check(rects, boxes, jnp.zeros(2, jnp.int32), 128)
+
+
+def test_select_parent_counts():
+    """With parent_counts, only the front of each list is walked; results
+    must equal the full walk when the tail is never-hit padding."""
+    rng = np.random.default_rng(2)
+    NP, M, R, CAP = 2, 4096, 6, 256
+    cx0 = np.asarray(rng.uniform(0, 800, (NP, M)), np.float32)
+    cx1 = cx0 + 40.0
+    cy0 = np.asarray(rng.uniform(0, 800, (NP, M)), np.float32)
+    cy1 = cy0 + 40.0
+    counts = np.array([1500, 4096], np.int32)
+    for p in range(NP):
+        cx0[p, counts[p]:], cx1[p, counts[p]:] = 1e9, -1e9
+        cy0[p, counts[p]:], cy1[p, counts[p]:] = 1e9, -1e9
+    boxes = tuple(jnp.asarray(a) for a in (cx0, cx1, cy0, cy1))
+    rx0 = jnp.asarray(rng.uniform(0, 700, R), jnp.float32)
+    ry0 = jnp.asarray(rng.uniform(0, 700, R), jnp.float32)
+    rects = (rx0, rx0 + 127, ry0, ry0 + 63)
+    parent = jnp.asarray(rng.integers(0, NP, R), jnp.int32)
+    pos_full, cnt_full = select_rows(rects, boxes, parent, CAP,
+                                     interpret=True)
+    pos_cnt, cnt_cnt = select_rows(
+        rects, boxes, parent, CAP,
+        parent_counts=jnp.asarray(counts)[parent], interpret=True)
+    np.testing.assert_array_equal(np.asarray(cnt_full), np.asarray(cnt_cnt))
+    np.testing.assert_array_equal(np.asarray(pos_full), np.asarray(pos_cnt))
+    _check(rects, boxes, parent, CAP)
+
+
+def test_select_pads_to_macro_block():
+    """M not a multiple of 1024 is padded internally with never-hit boxes."""
+    M = 300
+    cx0 = jnp.linspace(0, 500, M, dtype=jnp.float32)[None]
+    boxes = (cx0, cx0 + 30.0, jnp.zeros((1, M), jnp.float32),
+             jnp.full((1, M), 50.0, jnp.float32))
+    rects = (jnp.array([100.0]), jnp.array([220.0]),
+             jnp.array([0.0]), jnp.array([10.0]))
+    _check(rects, boxes, jnp.zeros(1, jnp.int32), 128)

@@ -210,12 +210,15 @@ def depth_to_normal(cam: CameraArrays, depth: jnp.ndarray, width: int, height: i
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    # Safe normalization (double-where): at flat/background pixels the cross
-    # product is exactly 0 and d|n|/dn would be NaN; zero the output and its
-    # gradient there instead.
+    # Safe normalization with the reference's F.normalize semantics
+    # (x / max(|x|, 1e-12), utils/point_utils.py:36). A bare n2 > 0 gate is
+    # NOT grad-safe: subnormal |n|^2 makes d(rsqrt)/dn2 ~ n2^-1.5 overflow
+    # to inf -> NaN. The eps floor caps the backward slope at 1e12, and the
+    # double-where keeps the sqrt's own VJP off the n2 == 0 branch.
     n2 = jnp.sum(n * n, axis=-1, keepdims=True)
     nonzero = n2 > 0.0
-    inv = jax.lax.rsqrt(jnp.where(nonzero, n2, 1.0))
-    n = jnp.where(nonzero, n, 0.0) * inv
+    norm = jnp.sqrt(jnp.where(nonzero, n2, 1.0))
+    denom = jnp.maximum(jnp.where(nonzero, norm, 0.0), 1e-12)
+    n = n / denom
     out = jnp.zeros_like(pts)
     return out.at[1:-1, 1:-1, :].set(n)

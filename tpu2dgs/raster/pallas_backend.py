@@ -140,7 +140,7 @@ def _read_rec(rec_ref, jj):
     # extracts cost ~130 cycles/splat in cross-lane relayouts (measured
     # 368 -> 240 cy/step on v5e when switched to SMEM).
     base = jj * REC
-    return [rec_ref[0, base + k] for k in range(21)]
+    return [rec_ref[0, 0, base + k] for k in range(21)]
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nbx: int,
@@ -402,9 +402,11 @@ def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            # Flat (1, C*REC) in SMEM: per-splat scalar reads, no lane
-            # relayouts, and no 24->128 lane padding of the record axis.
-            pl.BlockSpec((1, c * REC), lambda i, counts, row0: (i, 0),
+            # Flat (1, 1, C*REC) in SMEM: per-splat scalar reads, no lane
+            # relayouts, and no 24->128 lane padding of the record axis
+            # (the singleton middle dim satisfies Mosaic's last-two-dims
+            # block rule).
+            pl.BlockSpec((1, 1, c * REC), lambda i, counts, row0: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, OUT_CH, BY, BX),
@@ -416,7 +418,7 @@ def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3.reshape(t, c * REC))
+    )(counts, row0, rec3.reshape(t, 1, c * REC))
 
 
 def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
@@ -426,7 +428,7 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, c * REC), lambda i, counts, row0: (i, 0),
+            pl.BlockSpec((1, 1, c * REC), lambda i, counts, row0: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -442,7 +444,7 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, c, REC), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3.reshape(t, c * REC), out, dout)
+    )(counts, row0, rec3.reshape(t, 1, c * REC), out, dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -567,9 +569,11 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
     y_hi = y_lo + (nty * BY - 1)
     cix = jnp.arange(nbx, dtype=f32)
+    n_vis = jnp.minimum(comp.num_visible, k_vis)
     col_pos, col_cnt = select_kernel.select_rows(
         (cix * BX, cix * BX + (BX - 1), y_lo, y_hi),
-        gboxes, jnp.zeros((nbx,), jnp.int32), col_cap, interpret=interpret)
+        gboxes, jnp.zeros((nbx,), jnp.int32), col_cap,
+        parent_counts=jnp.broadcast_to(n_vis, (nbx,)), interpret=interpret)
 
     col_iota = jnp.arange(col_cap, dtype=jnp.int32)[None, :]
     col_ok = col_iota < jnp.minimum(col_cnt, col_cap)[:, None]
@@ -585,10 +589,12 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     bix = jnp.arange(nb, dtype=f32) % nbx
     biy = (jnp.arange(nb, dtype=f32) // nbx
            + jnp.asarray(tile_row0, f32) / cby)
+    bin_parent = jnp.arange(nb, dtype=jnp.int32) % nbx
     bin_pos, bin_counts = select_kernel.select_rows(
         (bix * BX, bix * BX + (BX - 1),
          biy * (BY * cby), biy * (BY * cby) + (BY * cby - 1)),
-        cboxes, (jnp.arange(nb, dtype=jnp.int32) % nbx), bin_capk,
+        cboxes, bin_parent, bin_capk,
+        parent_counts=jnp.minimum(col_cnt, col_cap)[bin_parent],
         interpret=interpret)
 
     bin_col = jnp.arange(nb, dtype=jnp.int32) % nbx
@@ -611,7 +617,9 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
     tile_loc, counts = select_kernel.select_rows(
         (tx0, tx0 + (BX - 1), ty0, ty0 + (BY - 1)),
-        bboxes, bin_of_tile, capk, interpret=interpret)
+        bboxes, bin_of_tile, capk,
+        parent_counts=jnp.minimum(bin_counts, bin_capk)[bin_of_tile],
+        interpret=interpret)
 
     tile_pos = bin_glob[bin_of_tile[:, None], tile_loc][:, :cap]
     tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]

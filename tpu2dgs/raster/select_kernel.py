@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 LB = 128  # lane-block width: candidates processed per inner step
 
 
-def _select_kernel(parent_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
+def _select_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
                    cx0_ref, cx1_ref, cy0_ref, cy1_ref,
                    pos_ref, cnt_ref, *, mb: int, cap_rows: int):
     i = pl.program_id(0)
@@ -50,75 +50,106 @@ def _select_kernel(parent_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
     ry1 = ry1_ref[i]
 
     f32 = jnp.float32
-    # (in, out) one-hot builders; constants are hoisted out of the loop.
-    # integer iota then cast: Mosaic rejects float iota.
+    # Constant one-hot builders (hoisted): integer iota then cast — Mosaic
+    # rejects float iota.
     sub = lax.broadcasted_iota(jnp.int32, (LB, LB), 0)
     lanes2i = lax.broadcasted_iota(jnp.int32, (LB, LB), 1)
     ident = (sub == lanes2i).astype(f32)
     tril = (sub >= lanes2i).astype(f32)          # inclusive prefix (L @ v)
     lanes2 = lanes2i.astype(f32)
-    loc = lax.broadcasted_iota(jnp.int32, (LB, 1), 0).astype(f32)
     lane1 = lax.broadcasted_iota(jnp.int32, (1, LB), 1).astype(f32)
 
     pos_ref[0] = jnp.zeros((cap_rows, LB), f32)
+    # Candidate lists are front-packed (never-hit padding past the parent's
+    # count), so only ceil(pcnt / (8*LB)) macro blocks can contain hits.
+    pcnt = jnp.minimum(pcnt_ref[i], mb * LB)
+    nmac = (pcnt + (8 * LB - 1)) // (8 * LB)
 
-    def block_body(b, cursor):
-        x0 = cx0_ref[0, pl.ds(b, 1), :]   # (1, LB)
-        x1 = cx1_ref[0, pl.ds(b, 1), :]
-        y0 = cy0_ref[0, pl.ds(b, 1), :]
-        y1 = cy1_ref[0, pl.ds(b, 1), :]
-        hit = (x0 <= rx1) & (x1 >= rx0) & (y0 <= ry1) & (y1 >= ry0)
-        hf = hit.astype(f32)
-        cnt = jnp.sum(hf).astype(jnp.int32)
+    def macro_body(bm, carry):
+        """One (8, LB) macro block: hit test once, 8 sub-row compactions."""
+        cursor, cur_row = carry
+        b0 = bm * 8
+        x0 = cx0_ref[0, pl.ds(b0, 8), :]   # (8, LB)
+        x1 = cx1_ref[0, pl.ds(b0, 8), :]
+        y0 = cy0_ref[0, pl.ds(b0, 8), :]
+        y1 = cy1_ref[0, pl.ds(b0, 8), :]
+        hit8 = ((x0 <= rx1) & (x1 >= rx0) & (y0 <= ry1) & (y1 >= ry0))
+        hf8 = hit8.astype(f32)
 
-        @pl.when(cnt > 0)
-        def _():
-            # Transpose the hit mask to sublanes, then rank it: both are
-            # exact MXU products of {0,1} values.
+        def do_macro(carry):
+            cursor, cur_row = carry
+            # Batched MXU transpose + inclusive prefix for all 8 sub-rows:
+            # exact {0,1} products.
             hit_sub = lax.dot_general(
-                ident, hf, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)            # (LB, 1)
-            lc = lax.dot_general(
+                ident, hf8, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)            # (LB, 8)
+            lc8 = lax.dot_general(
                 tril, hit_sub, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)            # (LB, 1) inclusive rank
-            cur_mod = (cursor % LB).astype(f32)
-            base_row = cursor // LB
-            rel = lc - 1.0 + cur_mod                   # output slot, block-rel
-            gate = hit_sub > 0.0
-            # Selection matrices for the two aligned output rows the block
-            # can span; exactly one 1 per hit column.
-            sel_a = ((rel == lanes2) & gate).astype(f32)
-            sel_b = ((rel - LB == lanes2) & gate).astype(f32)
-            vals_a = lax.dot_general(
-                loc, sel_a, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)            # (1, LB) local offsets
-            vals_b = lax.dot_general(
-                loc, sel_b, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            # Add the global block base only on the slots this block owns.
-            fcnt = cnt.astype(f32)
-            fb = (b * LB).astype(f32)
-            own_a = (lane1 >= cur_mod) & (lane1 < cur_mod + fcnt)
-            own_b = lane1 < cur_mod + fcnt - LB
-            vals_a = vals_a + fb * own_a.astype(f32)
-            vals_b = vals_b + fb * own_b.astype(f32)
+                preferred_element_type=f32)            # (LB, 8) ranks
+            # Compacted positions by counting: the (l+1)-th hit of sub-row
+            # k sits at sublane #{s : rank[s] <= l} (ranks are a
+            # nondecreasing 0..cnt staircase). One (LB, LB) compare + one
+            # sublane reduction per sub-row, all independent — no selection
+            # matmuls, no per-sub-row branching. Lanes l >= cnt come out as
+            # LB and are masked off by the ownership windows below.
+            vals8 = [
+                jnp.sum((lc8[:, k:k + 1] <= lanes2).astype(f32), axis=0,
+                        keepdims=True)                 # (1, LB)
+                for k in range(8)
+            ]
+            cnt8 = [lc8[LB - 1, k].astype(jnp.int32) for k in range(8)]
 
-            @pl.when(base_row < cap_rows)
-            def _():
-                pos_ref[0, pl.ds(base_row, 1), :] += vals_a
+            def sub_body(k, carry):
+                # k is a Python int (unrolled): static lane slices. Empty
+                # sub-rows are a cheap masked no-op (cnt = 0 => ownership
+                # windows are empty and `crossed` is false).
+                cursor, cur_row = carry
+                cnt = cnt8[k]
+                cur_mod = cursor % LB
+                base_row = cursor // LB
+                fmod = cur_mod.astype(f32)
+                fcnt = cnt.astype(f32)
+                # Rotate into stream position; lanes outside
+                # [cur_mod, cur_mod+cnt) are masked off per row.
+                rolled = pltpu.roll(vals8[k], cur_mod, 1)
+                fb = ((b0 + k) * LB).astype(f32)
+                own_a = ((lane1 >= fmod)
+                         & (lane1 < fmod + fcnt)).astype(f32)
+                cur_row = cur_row + (rolled + fb) * own_a
+                crossed = cur_mod + cnt >= LB
 
-            @pl.when((base_row + 1 < cap_rows) & (cur_mod + fcnt > LB))
-            def _():
-                pos_ref[0, pl.ds(base_row + 1, 1), :] += vals_b
+                @pl.when(crossed & (base_row < cap_rows))
+                def _():
+                    pos_ref[0, pl.ds(base_row, 1), :] = cur_row
 
-        return cursor + cnt
+                own_b = (lane1 < fmod + fcnt - LB).astype(f32)
+                cur_row = jnp.where(crossed, (rolled + fb) * own_b,
+                                    cur_row)
+                return cursor + cnt, cur_row
 
-    total = lax.fori_loop(0, mb, block_body, jnp.int32(0))
+            carry2 = (cursor, cur_row)
+            for k in range(8):
+                carry2 = sub_body(k, carry2)
+            return carry2
+
+        any_hit = jnp.sum(hf8) > 0.0
+        return lax.cond(any_hit, do_macro, lambda c: c, (cursor, cur_row))
+
+    total, cur_row = lax.fori_loop(
+        0, nmac, macro_body, (jnp.int32(0), jnp.zeros((1, LB), f32)))
+
+    # Flush the trailing partial row (lanes past total%LB hold zeros).
+    last_row = total // LB
+
+    @pl.when((total % LB > 0) & (last_row < cap_rows))
+    def _():
+        pos_ref[0, pl.ds(last_row, 1), :] = cur_row
+
     cnt_ref[i, 0] = total  # whole-array SMEM block, row per grid step
 
 
 def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
-                interpret: bool = False):
+                parent_counts=None, interpret: bool = False):
     """First-`cap` overlap positions per row, in candidate order.
 
     Args:
@@ -128,17 +159,28 @@ def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
         per parent; M must be a multiple of 128 (pad with empty boxes).
       parent_of_row: (R,) int32 — candidate set used by each row.
       cap: output capacity per row (multiple of 128).
+      parent_counts: optional (R,) int32 — number of live candidates at the
+        FRONT of each row's parent list. When given, the kernel only walks
+        ceil(count / 1024) macro blocks; every candidate past the count
+        must be a never-hit box (as produced by `pad_candidates` /
+        masked-off list tails). None = walk all M candidates.
 
     Returns (pos (R, cap) int32 — positions into the parent's M axis,
     zero-filled past the count — and counts (R,) int32: TOTAL overlaps,
     which may exceed cap)."""
     rx0, rx1, ry0, ry1 = (a.astype(jnp.float32) for a in row_rects)
-    cx0, cx1, cy0, cy1 = cand_boxes
     r = rx0.shape[0]
+    m_in = cand_boxes[0].shape[1]
+    cx0, cx1, cy0, cy1 = pad_candidates(
+        cand_boxes, -(-m_in // (8 * LB)) * (8 * LB))
     np_, m = cx0.shape
-    assert m % LB == 0 and cap % LB == 0, (m, cap)
+    assert cap % LB == 0, cap
     mb = m // LB
     cap_rows = cap // LB
+    if parent_counts is None:
+        pcnt = jnp.full((r,), m, jnp.int32)
+    else:
+        pcnt = parent_counts.astype(jnp.int32)
 
     def reshaped(a):
         return a.astype(jnp.float32).reshape(np_, mb, LB)
@@ -149,7 +191,7 @@ def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(r,),
         in_specs=[box_spec] * 4,
         out_specs=[
@@ -167,7 +209,7 @@ def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(parent_of_row.astype(jnp.int32), rx0, rx1, ry0, ry1,
+    )(parent_of_row.astype(jnp.int32), pcnt, rx0, rx1, ry0, ry1,
       reshaped(cx0), reshaped(cx1), reshaped(cy0), reshaped(cy1))
     return pos.reshape(r, cap).astype(jnp.int32), counts.reshape(r)
 
