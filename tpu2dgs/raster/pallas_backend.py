@@ -558,31 +558,27 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
 
     comp = binning.compact_visible(splats, k_vis)
     kp = _round128(k_vis)
-    gboxes = select_kernel.pad_candidates(
-        (comp.x0[None], comp.x1[None], comp.y0[None], comp.y1[None]), kp)
 
     col_cap = _round128(min(col_cap, kp))
     bin_capk = _round128(min(bin_cap, col_cap))
     capk = _round128(min(cap, bin_capk))
+
+    # Every level compacts 5 channels — the 4 hit-test AABBs plus the
+    # global compacted-slot index carried as an f32 value (exact: slots
+    # < 2^24) — so levels chain with ZERO XLA gathers between them
+    # (element gathers at these shapes measured ~10-50x the kernel cost).
+    g0 = jnp.arange(comp.x0.shape[0], dtype=f32)[None, :]
+    gchan = (comp.x0[None], comp.x1[None], comp.y0[None], comp.y1[None], g0)
 
     # L1: columns over the strip's full y range.
     y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
     y_hi = y_lo + (nty * BY - 1)
     cix = jnp.arange(nbx, dtype=f32)
     n_vis = jnp.minimum(comp.num_visible, k_vis)
-    col_pos, col_cnt = select_kernel.select_rows(
+    cchan, col_cnt = select_kernel.select_values(
         (cix * BX, cix * BX + (BX - 1), y_lo, y_hi),
-        gboxes, jnp.zeros((nbx,), jnp.int32), col_cap,
+        gchan, jnp.zeros((nbx,), jnp.int32), col_cap,
         parent_counts=jnp.broadcast_to(n_vis, (nbx,)), interpret=interpret)
-
-    col_iota = jnp.arange(col_cap, dtype=jnp.int32)[None, :]
-    col_ok = col_iota < jnp.minimum(col_cnt, col_cap)[:, None]
-    cboxes = (
-        jnp.where(col_ok, comp.x0[col_pos], 1e9),
-        jnp.where(col_ok, comp.x1[col_pos], -1e9),
-        jnp.where(col_ok, comp.y0[col_pos], 1e9),
-        jnp.where(col_ok, comp.y1[col_pos], -1e9),
-    )
 
     # L2: coarse bins from their column's candidates (y test only matters).
     nb = nby_c * nbx
@@ -590,23 +586,12 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     biy = (jnp.arange(nb, dtype=f32) // nbx
            + jnp.asarray(tile_row0, f32) / cby)
     bin_parent = jnp.arange(nb, dtype=jnp.int32) % nbx
-    bin_pos, bin_counts = select_kernel.select_rows(
+    bchan, bin_counts = select_kernel.select_values(
         (bix * BX, bix * BX + (BX - 1),
          biy * (BY * cby), biy * (BY * cby) + (BY * cby - 1)),
-        cboxes, bin_parent, bin_capk,
+        cchan, bin_parent, bin_capk,
         parent_counts=jnp.minimum(col_cnt, col_cap)[bin_parent],
         interpret=interpret)
-
-    bin_col = jnp.arange(nb, dtype=jnp.int32) % nbx
-    bin_glob = col_pos[bin_col[:, None], bin_pos]        # (NB, bin_capk)
-    bin_iota = jnp.arange(bin_capk, dtype=jnp.int32)[None, :]
-    bin_ok = bin_iota < jnp.minimum(bin_counts, bin_capk)[:, None]
-    bboxes = (
-        jnp.where(bin_ok, comp.x0[bin_glob], 1e9),
-        jnp.where(bin_ok, comp.x1[bin_glob], -1e9),
-        jnp.where(bin_ok, comp.y0[bin_glob], 1e9),
-        jnp.where(bin_ok, comp.y1[bin_glob], -1e9),
-    )
 
     # L3: fine tiles from their bin's candidates.
     t = nty * nbx
@@ -615,13 +600,13 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     bin_of_tile = (tiy // cby) * nbx + tix
     tx0 = (tix * BX).astype(f32)
     ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
-    tile_loc, counts = select_kernel.select_rows(
+    tchan, counts = select_kernel.select_values(
         (tx0, tx0 + (BX - 1), ty0, ty0 + (BY - 1)),
-        bboxes, bin_of_tile, capk,
+        bchan, bin_of_tile, capk,
         parent_counts=jnp.minimum(bin_counts, bin_capk)[bin_of_tile],
         interpret=interpret)
 
-    tile_pos = bin_glob[bin_of_tile[:, None], tile_loc][:, :cap]
+    tile_pos = tchan[4][:, :cap].astype(jnp.int32)
     tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
     tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
     tile_pos = jnp.where(tile_valid, tile_pos, 0)

@@ -40,9 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 LB = 128  # lane-block width: candidates processed per inner step
 
 
-def _select_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
-                   cx0_ref, cx1_ref, cy0_ref, cy1_ref,
-                   pos_ref, cnt_ref, *, mb: int, cap_rows: int):
+def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
+                          ry1_ref, *refs, mb: int, cap_rows: int,
+                          n_chan: int, pad_vals: tuple):
+    chan_refs = refs[:n_chan]           # (1, mb, LB) candidate channels
+    out_refs = refs[n_chan:2 * n_chan]  # (1, cap_rows, LB) compacted outputs
+    cnt_ref = refs[2 * n_chan]
     i = pl.program_id(0)
     rx0 = rx0_ref[i]
     rx1 = rx1_ref[i]
@@ -58,8 +61,11 @@ def _select_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
     tril = (sub >= lanes2i).astype(f32)          # inclusive prefix (L @ v)
     lanes2 = lanes2i.astype(f32)
     lane1 = lax.broadcasted_iota(jnp.int32, (1, LB), 1).astype(f32)
+    pads = jnp.concatenate(
+        [jnp.full((1, LB), v, f32) for v in pad_vals], axis=0)  # (C, LB)
 
-    pos_ref[0] = jnp.zeros((cap_rows, LB), f32)
+    for c in range(n_chan):
+        out_refs[c][0] = jnp.full((cap_rows, LB), pad_vals[c], f32)
     # Candidate lists are front-packed (never-hit padding past the parent's
     # count), so only ceil(pcnt / (8*LB)) macro blocks can contain hits.
     pcnt = jnp.minimum(pcnt_ref[i], mb * LB)
@@ -67,17 +73,15 @@ def _select_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
 
     def macro_body(bm, carry):
         """One (8, LB) macro block: hit test once, 8 sub-row compactions."""
-        cursor, cur_row = carry
+        cursor, cur_rows = carry
         b0 = bm * 8
-        x0 = cx0_ref[0, pl.ds(b0, 8), :]   # (8, LB)
-        x1 = cx1_ref[0, pl.ds(b0, 8), :]
-        y0 = cy0_ref[0, pl.ds(b0, 8), :]
-        y1 = cy1_ref[0, pl.ds(b0, 8), :]
+        blocks = [r[0, pl.ds(b0, 8), :] for r in chan_refs]  # (8, LB) each
+        x0, x1, y0, y1 = blocks[:4]
         hit8 = ((x0 <= rx1) & (x1 >= rx0) & (y0 <= ry1) & (y1 >= ry0))
         hf8 = hit8.astype(f32)
 
         def do_macro(carry):
-            cursor, cur_row = carry
+            cursor, cur_rows = carry
             # Batched MXU transpose + inclusive prefix for all 8 sub-rows:
             # exact {0,1} products.
             hit_sub = lax.dot_general(
@@ -86,94 +90,116 @@ def _select_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref, ry1_ref,
             lc8 = lax.dot_general(
                 tril, hit_sub, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)            # (LB, 8) ranks
-            # Compacted positions by counting: the (l+1)-th hit of sub-row
-            # k sits at sublane #{s : rank[s] <= l} (ranks are a
-            # nondecreasing 0..cnt staircase). One (LB, LB) compare + one
-            # sublane reduction per sub-row, all independent — no selection
-            # matmuls, no per-sub-row branching. Lanes l >= cnt come out as
-            # LB and are masked off by the ownership windows below.
-            vals8 = [
-                jnp.sum((lc8[:, k:k + 1] <= lanes2).astype(f32), axis=0,
-                        keepdims=True)                 # (1, LB)
-                for k in range(8)
-            ]
-            cnt8 = [lc8[LB - 1, k].astype(jnp.int32) for k in range(8)]
 
             def sub_body(k, carry):
                 # k is a Python int (unrolled): static lane slices. Empty
                 # sub-rows are a cheap masked no-op (cnt = 0 => ownership
                 # windows are empty and `crossed` is false).
-                cursor, cur_row = carry
-                cnt = cnt8[k]
+                cursor, cur_rows = carry
+                cnt = lc8[LB - 1, k].astype(jnp.int32)
+                # One-hot selection: column l of sel is the (unique) hit
+                # with rank l+1, so V @ sel compacts every channel at once.
+                # Exact for any normal f32 at HIGHEST precision: each
+                # output is a single v*1 product and the bf16x3 split of v
+                # recombines exactly.
+                gate = hit_sub[:, k:k + 1] > 0.0
+                sel = ((lc8[:, k:k + 1] - 1.0 == lanes2) & gate).astype(f32)
+                v = jnp.concatenate(
+                    [b[k:k + 1, :] for b in blocks], axis=0)  # (C, LB)
+                vals = lax.dot_general(
+                    v, sel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=lax.Precision.HIGHEST)          # (C, LB)
                 cur_mod = cursor % LB
                 base_row = cursor // LB
                 fmod = cur_mod.astype(f32)
                 fcnt = cnt.astype(f32)
                 # Rotate into stream position; lanes outside
-                # [cur_mod, cur_mod+cnt) are masked off per row.
-                rolled = pltpu.roll(vals8[k], cur_mod, 1)
-                fb = ((b0 + k) * LB).astype(f32)
-                own_a = ((lane1 >= fmod)
-                         & (lane1 < fmod + fcnt)).astype(f32)
-                cur_row = cur_row + (rolled + fb) * own_a
+                # [cur_mod, cur_mod+cnt) keep their previous value.
+                rolled = pltpu.roll(vals, cur_mod, 1)
+                own_a = (lane1 >= fmod) & (lane1 < fmod + fcnt)  # (1, LB)
+                cur_rows = jnp.where(own_a, rolled, cur_rows)
                 crossed = cur_mod + cnt >= LB
 
                 @pl.when(crossed & (base_row < cap_rows))
                 def _():
-                    pos_ref[0, pl.ds(base_row, 1), :] = cur_row
+                    for c in range(n_chan):
+                        out_refs[c][0, pl.ds(base_row, 1), :] = (
+                            cur_rows[c:c + 1, :])
 
-                own_b = (lane1 < fmod + fcnt - LB).astype(f32)
-                cur_row = jnp.where(crossed, (rolled + fb) * own_b,
-                                    cur_row)
-                return cursor + cnt, cur_row
+                own_b = lane1 < fmod + fcnt - LB
+                cur_rows = jnp.where(
+                    crossed, jnp.where(own_b, rolled, pads), cur_rows)
+                return cursor + cnt, cur_rows
 
-            carry2 = (cursor, cur_row)
+            carry2 = (cursor, cur_rows)
             for k in range(8):
                 carry2 = sub_body(k, carry2)
             return carry2
 
         any_hit = jnp.sum(hf8) > 0.0
-        return lax.cond(any_hit, do_macro, lambda c: c, (cursor, cur_row))
+        return lax.cond(any_hit, do_macro, lambda c: c, (cursor, cur_rows))
 
-    total, cur_row = lax.fori_loop(
-        0, nmac, macro_body, (jnp.int32(0), jnp.zeros((1, LB), f32)))
+    total, cur_rows = lax.fori_loop(
+        0, nmac, macro_body, (jnp.int32(0), pads))
 
-    # Flush the trailing partial row (lanes past total%LB hold zeros).
+    # Flush the trailing partial row (lanes past total%LB hold pads).
     last_row = total // LB
 
     @pl.when((total % LB > 0) & (last_row < cap_rows))
     def _():
-        pos_ref[0, pl.ds(last_row, 1), :] = cur_row
+        for c in range(n_chan):
+            out_refs[c][0, pl.ds(last_row, 1), :] = cur_rows[c:c + 1, :]
 
     cnt_ref[i, 0] = total  # whole-array SMEM block, row per grid step
 
 
-def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
-                parent_counts=None, interpret: bool = False):
-    """First-`cap` overlap positions per row, in candidate order.
+BOX_PADS = (1e9, -1e9, 1e9, -1e9)  # never-hit AABB fills for x0, x1, y0, y1
+
+
+def select_values(row_rects, cand_channels, parent_of_row, cap: int,
+                  parent_counts=None, pad_vals=None,
+                  interpret: bool = False):
+    """Stream-compact candidate CHANNELS through per-row overlap tests.
+
+    The gather-free form of `select_rows`: instead of returning positions
+    (forcing the caller to gather boxes between binning levels — a
+    pathological XLA TPU op at these shapes), each level's kernel carries
+    every channel through the compaction itself via exact one-hot MXU
+    products, so consecutive levels chain with zero XLA gathers.
 
     Args:
       row_rects: (rx0, rx1, ry0, ry1) each (R,) f32 — row rectangles
         (inclusive pixel bounds).
-      cand_boxes: (cx0, cx1, cy0, cy1) each (NP, M) f32 — candidate AABBs
-        per parent; M must be a multiple of 128 (pad with empty boxes).
+      cand_channels: tuple of (NP, M) f32 arrays. The FIRST FOUR must be
+        the candidate AABBs (cx0, cx1, cy0, cy1) used for the hit test;
+        any further channels (e.g. a global-position channel) are carried
+        through unchanged. M is padded internally to a macro-block
+        multiple.
       parent_of_row: (R,) int32 — candidate set used by each row.
       cap: output capacity per row (multiple of 128).
       parent_counts: optional (R,) int32 — number of live candidates at the
         FRONT of each row's parent list. When given, the kernel only walks
         ceil(count / 1024) macro blocks; every candidate past the count
-        must be a never-hit box (as produced by `pad_candidates` /
-        masked-off list tails). None = walk all M candidates.
+        must be a never-hit box. None = walk all M candidates.
+      pad_vals: per-channel fill past each row's output count (default:
+        never-hit box fills + 0.0 for extra channels) — chosen so a level's
+        output tail is directly consumable as the next level's input.
 
-    Returns (pos (R, cap) int32 — positions into the parent's M axis,
-    zero-filled past the count — and counts (R,) int32: TOTAL overlaps,
-    which may exceed cap)."""
+    Returns (channels: tuple of (R, cap) f32 compacted in candidate order,
+    counts (R,) int32: TOTAL overlaps, which may exceed cap)."""
     rx0, rx1, ry0, ry1 = (a.astype(jnp.float32) for a in row_rects)
     r = rx0.shape[0]
-    m_in = cand_boxes[0].shape[1]
-    cx0, cx1, cy0, cy1 = pad_candidates(
-        cand_boxes, -(-m_in // (8 * LB)) * (8 * LB))
-    np_, m = cx0.shape
+    n_chan = len(cand_channels)
+    assert n_chan >= 4, "first four channels must be the candidate AABBs"
+    if pad_vals is None:
+        pad_vals = BOX_PADS + (0.0,) * (n_chan - 4)
+    pad_vals = tuple(float(v) for v in pad_vals)
+    assert len(pad_vals) == n_chan
+    m_in = cand_channels[0].shape[1]
+    chans = pad_candidates(cand_channels, -(-m_in // (8 * LB)) * (8 * LB),
+                           pad_vals)
+    np_, m = chans[0].shape
     assert cap % LB == 0, cap
     mb = m // LB
     cap_rows = cap // LB
@@ -181,9 +207,6 @@ def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
         pcnt = jnp.full((r,), m, jnp.int32)
     else:
         pcnt = parent_counts.astype(jnp.int32)
-
-    def reshaped(a):
-        return a.astype(jnp.float32).reshape(np_, mb, LB)
 
     box_spec = pl.BlockSpec(
         (1, mb, LB),
@@ -193,37 +216,59 @@ def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(r,),
-        in_specs=[box_spec] * 4,
+        in_specs=[box_spec] * n_chan,
         out_specs=[
             pl.BlockSpec((1, cap_rows, LB), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] * n_chan + [
             pl.BlockSpec((r, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
-    pos, counts = pl.pallas_call(
-        functools.partial(_select_kernel, mb=mb, cap_rows=cap_rows),
+    outs = pl.pallas_call(
+        functools.partial(_select_values_kernel, mb=mb, cap_rows=cap_rows,
+                          n_chan=n_chan, pad_vals=pad_vals),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r, cap_rows, LB), jnp.float32),
+            jax.ShapeDtypeStruct((r, cap_rows, LB), jnp.float32)
+        ] * n_chan + [
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
     )(parent_of_row.astype(jnp.int32), pcnt, rx0, rx1, ry0, ry1,
-      reshaped(cx0), reshaped(cx1), reshaped(cy0), reshaped(cy1))
-    return pos.reshape(r, cap).astype(jnp.int32), counts.reshape(r)
+      *[a.astype(jnp.float32).reshape(np_, mb, LB) for a in chans])
+    channels = tuple(o.reshape(r, cap) for o in outs[:n_chan])
+    return channels, outs[n_chan].reshape(r)
 
 
-def pad_candidates(boxes, m_padded: int):
-    """Pad (NP, M) candidate boxes to M=m_padded with never-hit boxes."""
-    cx0, cx1, cy0, cy1 = boxes
-    pad = m_padded - cx0.shape[1]
+def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
+                parent_counts=None, interpret: bool = False):
+    """First-`cap` overlap positions per row, in candidate order.
+
+    Position-returning wrapper over `select_values`: carries a per-parent
+    iota channel through the compaction, so pos[r, j] indexes the parent's
+    M axis. Returns (pos (R, cap) int32, zero-filled past the count, and
+    counts (R,) int32: TOTAL overlaps, which may exceed cap)."""
+    np_, m = cand_boxes[0].shape
+    g = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.float32)[None, :], (np_, m))
+    channels, counts = select_values(
+        row_rects, tuple(cand_boxes) + (g,), parent_of_row, cap,
+        parent_counts=parent_counts, interpret=interpret)
+    return channels[4].astype(jnp.int32), counts
+
+
+def pad_candidates(channels, m_padded: int, pad_vals=None):
+    """Pad (NP, M) candidate channels to M=m_padded (never-hit boxes)."""
+    if pad_vals is None:
+        pad_vals = BOX_PADS + (0.0,) * (len(channels) - 4)
+    pad = m_padded - channels[0].shape[1]
     if pad <= 0:
-        return boxes
-    np_ = cx0.shape[0]
+        return tuple(channels)
+    np_ = channels[0].shape[0]
 
     def p(a, fill):
         return jnp.concatenate(
             [a, jnp.full((np_, pad), fill, a.dtype)], axis=1)
 
-    return p(cx0, 1e9), p(cx1, -1e9), p(cy0, 1e9), p(cy1, -1e9)
+    return tuple(p(a, v) for a, v in zip(channels, pad_vals))
