@@ -1,8 +1,15 @@
 """Per-stage timing of the Pallas rasterizer pipeline on the attached TPU.
 
 Usage: python scripts/profile_raster.py [stage ...]
-Stages: preprocess sort coarse fine gather fwd bwd full
+Stages: preprocess binning gather fwd fwdbwd full
 Prints ms per stage at the bench shape (800x800, 128K splats).
+
+Timing method: N iterations chained inside ONE jit with
+`lax.optimization_barrier` between them, a single scalar readback at the
+end. `block_until_ready` does NOT reliably wait through the axon tunnel
+(async futures), so per-call host timing wildly misreports; chaining
+amortizes the tunnel round-trip to <1ms/iter and stops XLA from
+overlapping or CSE-ing iterations.
 """
 
 import sys
@@ -11,7 +18,9 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
+import tpu2dgs
 from tpu2dgs.core import cameras
 from tpu2dgs.raster import binning
 from tpu2dgs.raster import pallas_backend as pb
@@ -20,21 +29,32 @@ from tpu2dgs.raster.api import RasterSettings, render
 from tpu2dgs.train import losses
 
 
-def timed(name, fn, *args, iters=10):
-    out = jax.block_until_ready(jax.jit(fn)(*args))
+def chain_timed(name, fn, args, iters=10):
+    """fn(*args) -> scalar, timed as ms/iter via in-graph chaining."""
+    def many(args):
+        def body(carry, _):
+            a, acc = carry
+            s = fn(*a)
+            a = lax.optimization_barrier(a)
+            acc = acc + s * 1e-30
+            (acc,) = lax.optimization_barrier((acc,))
+            return (a, acc), None
+        (a, acc), _ = lax.scan(body, (args, jnp.float32(0)), None,
+                               length=iters)
+        return acc + fn(*a) * 0.0
+    f = jax.jit(many)
+    float(f(args))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+    float(f(args))
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:>28}: {dt:8.2f} ms")
-    return out
+    print(f"{name:>32}: {dt:8.2f} ms/iter", flush=True)
+    return dt
 
 
 def main():
+    tpu2dgs.enable_compilation_cache()
     stages = set(sys.argv[1:]) or {
-        "preprocess", "sort", "coarse", "fine", "gather", "fwd", "bwd",
-        "full"}
+        "preprocess", "binning", "gather", "fwd", "fwdbwd", "full"}
     w = h = 800
     n = 1 << 17
     settings = RasterSettings(
@@ -65,90 +85,53 @@ def main():
             xyz, scaling, rotation, opacity.reshape(-1), features, cam, w, h,
             3)
 
-    splats = timed("preprocess", do_pre, *scene) if "preprocess" in stages \
-        else jax.jit(do_pre)(*scene)
+    splats = jax.jit(do_pre)(*scene)
+    if "preprocess" in stages:
+        chain_timed("preprocess", lambda *s: jnp.sum(do_pre(*s).depth),
+                    scene)
 
     nbx = -(-w // pb.BX)
     nty = -(-h // pb.BY)
     cap, bin_cap = 2048, 8192
 
-    if "sort" in stages:
-        timed("compact_visible", lambda s: binning.compact_visible(s, n),
-              splats)
-    comp = jax.jit(lambda s: binning.compact_visible(s, n))(splats)
+    if "binning" in stages:
+        chain_timed("binning (compact + 3 selects)", lambda s: jnp.sum(
+            pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n)[6]), (splats,))
 
-    cby = 4
-    nby_c = -(-nty // cby)
-    nb = nby_c * nbx
-    bix = jnp.arange(nb, dtype=jnp.float32) % nbx
-    biy = jnp.arange(nb, dtype=jnp.float32) // nbx
-    bx0 = bix * pb.BX
-    bx1 = bx0 + (pb.BX - 1)
-    by0 = biy * (pb.BY * cby)
-    by1 = by0 + (pb.BY * cby - 1)
-
-    if "coarse" in stages:
-        timed("select_coarse",
-              lambda c: binning.select_coarse(c, bx0, bx1, by0, by1, bin_cap),
-              comp)
-    cand_pos, cand_valid, _ = jax.jit(
-        lambda c: binning.select_coarse(c, bx0, bx1, by0, by1, bin_cap))(comp)
-
-    t = nty * nbx
-    tix = jnp.arange(t, dtype=jnp.int32) % nbx
-    tiy = jnp.arange(t, dtype=jnp.int32) // nbx
-    bin_of_tile = (tiy // cby) * nbx + tix
-    tx0 = (tix * pb.BX).astype(jnp.float32)
-    tx1 = tx0 + (pb.BX - 1)
-    ty0 = (tiy * pb.BY).astype(jnp.float32)
-    ty1 = ty0 + (pb.BY - 1)
-
-    if "fine" in stages:
-        timed("select_fine",
-              lambda c, cp, cv: binning.select_fine(
-                  c, cp, cv, bin_of_tile, tx0, tx1, ty0, ty1, cap),
-              comp, cand_pos, cand_valid)
-    tile_pos, tile_valid, raw_counts = jax.jit(
-        lambda c, cp, cv: binning.select_fine(
-            c, cp, cv, bin_of_tile, tx0, tx1, ty0, ty1, cap))(
-        comp, cand_pos, cand_valid)
-    counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
+    binned = jax.jit(
+        lambda s: pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n))(splats)
+    comp, tile_pos, colpos, col_gpos, col_cnt = binned[:5]
+    counts = jnp.minimum(binned[6], cap).astype(jnp.int32)
+    row0 = jnp.zeros((1,), jnp.int32)
 
     if "gather" in stages:
-        timed("pack+gather",
-              lambda s, tp: pb.pack_records(s)[comp.perm][tp],
-              splats, tile_pos)
-    rec3 = jax.jit(lambda s, tp: pb.pack_records(s)[comp.perm][tp])(
-        splats, tile_pos)
+        chain_timed("pack + gather", lambda s, tp: jnp.sum(
+            pb.pack_records(s)[comp.perm][tp][:, :, 0]), (splats, tile_pos))
 
-    row0 = jnp.zeros((1,), jnp.int32)
+    rec_c = jax.jit(lambda s: pb.pack_records(s)[comp.perm])(splats)
+
+    def blend_sum(rc):
+        return jnp.sum(pb.blend_tiles(
+            rc, tile_pos, counts, row0, colpos, col_gpos, col_cnt,
+            nbx, nty, False))
+
     if "fwd" in stages:
-        timed("fwd kernel",
-              lambda r, c: pb.blend_tiles(r, c, row0, nbx, nty, False),
-              rec3, counts)
-
-    if "bwd" in stages:
-        out = jax.jit(
-            lambda r, c: pb._blend_call(r, c, row0, nbx=nbx, nty=nty,
-                                        interpret=False))(rec3, counts)
-        dout = jnp.ones_like(out)
-        timed("bwd kernel",
-              lambda r, c, o, d: pb._blend_bwd_call(
-                  r, c, row0, o, d, nbx=nbx, interpret=False),
-              rec3, counts, out, dout)
+        chain_timed("fwd kernel (+gather)", blend_sum, (rec_c,))
+    if "fwdbwd" in stages:
+        chain_timed("fwd+bwd kernels (+merge)", lambda rc: jnp.sum(
+            jax.grad(blend_sum)(rc)), (rec_c,))
 
     if "full" in stages:
-        def loss_fn(xyz, scaling, rotation, opacity, features):
-            out = render(cam, settings, xyz, scaling, rotation, opacity,
-                         features, bg)
+        def loss_fn(*s):
+            out = render(cam, settings, *s, bg)
             photo, _ = losses.photometric_loss(out["render"], gt, 0.2)
             ln = losses.normal_consistency_loss(
                 out["rend_normal"], out["surf_normal"])
-            ld = losses.distortion_loss(out["rend_dist"])
-            return photo + 0.05 * ln + 100.0 * ld
+            return photo + 0.05 * ln + 100.0 * jnp.mean(out["rend_dist"])
 
-        timed("full fwd+bwd", jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)),
-              *scene)
+        chain_timed("full step fwd", loss_fn, scene)
+        chain_timed("full step fwd+bwd", lambda *s: jnp.sum(
+            jax.grad(loss_fn)(*s)), scene)
 
 
 if __name__ == "__main__":

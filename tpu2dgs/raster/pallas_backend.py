@@ -143,12 +143,15 @@ def _read_rec(rec_ref, jj):
     return [rec_ref[0, 0, base + k] for k in range(21)]
 
 
-def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nbx: int,
+def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
                 n_chunks: int):
+    # Grid is COLUMN-major (tile i -> column i//nty, row i%nty) so that the
+    # backward kernel's per-column gradient accumulator block stays
+    # resident across all of a column's tiles.
     i = pl.program_id(0)
     count = counts_ref[i]
-    x0 = ((i % nbx) * BX).astype(jnp.float32)
-    y0 = (((i // nbx) + row0_ref[0]) * BY).astype(jnp.float32)
+    x0 = ((i // nty) * BX).astype(jnp.float32)
+    y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
     px = x0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 1).astype(jnp.float32)
     py = y0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 0).astype(jnp.float32)
@@ -233,12 +236,25 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nbx: int,
     out_ref[0, 15] = zeros
 
 
-def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref, drec_ref,
-                scratch, *, nbx: int, n_chunks: int):
+PACK = 5          # record rows packed per 128-lane accumulator row
+LANES = 128
+
+
+def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref,
+                drec_ref, scratch, *, nty: int, n_chunks: int):
+    """Backward blend: re-walks each tile back-to-front with suffix
+    accumulators, emitting per-(tile, entry) gradient rows that XLA
+    scatter-adds back to splats.
+
+    NOTE on the scatter: an in-kernel alternative (accumulating rows at
+    column-local slots in a VMEM accumulator + a column-merge kernel) was
+    built and validated, but measured ~60 cycles/entry for the dynamic
+    sublane read-modify-write chain vs XLA scatter-add's ~13 cycles/row —
+    the XLA scatter wins despite paying for the ~72% list padding."""
     i = pl.program_id(0)
     count = counts_ref[i]
-    x0 = ((i % nbx) * BX).astype(jnp.float32)
-    y0 = (((i // nbx) + row0_ref[0]) * BY).astype(jnp.float32)
+    x0 = ((i // nty) * BX).astype(jnp.float32)
+    y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
     px = x0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 1).astype(jnp.float32)
     py = y0 + lax.broadcasted_iota(jnp.int32, (BY, BX), 0).astype(jnp.float32)
@@ -395,7 +411,7 @@ class PallasMaps(NamedTuple):
     distortion: jnp.ndarray  # (H, W)
 
 
-def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
+def _blend_call(rec3, counts, row0, *, nty, interpret):
     t, c, _ = rec3.shape
     n_chunks = -(-c // CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -414,14 +430,14 @@ def _blend_call(rec3, counts, row0, *, nbx, nty, interpret):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nbx=nbx, n_chunks=n_chunks),
+        functools.partial(_fwd_kernel, nty=nty, n_chunks=n_chunks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
     )(counts, row0, rec3.reshape(t, 1, c * REC))
 
 
-def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
+def _blend_bwd_call(rec3, counts, row0, out, dout, *, nty, interpret):
     t, c, _ = rec3.shape
     n_chunks = -(-c // CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -430,9 +446,11 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         in_specs=[
             pl.BlockSpec((1, 1, c * REC), lambda i, counts, row0: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
+            pl.BlockSpec((1, OUT_CH, BY, BX),
+                         lambda i, counts, row0: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_CH, BY, BX), lambda i, counts, row0: (i, 0, 0, 0),
+            pl.BlockSpec((1, OUT_CH, BY, BX),
+                         lambda i, counts, row0: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
@@ -440,31 +458,117 @@ def _blend_bwd_call(rec3, counts, row0, out, dout, *, nbx, interpret):
         scratch_shapes=[pltpu.VMEM((CHUNK, REC, BX), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nbx=nbx, n_chunks=n_chunks),
+        functools.partial(_bwd_kernel, nty=nty, n_chunks=n_chunks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, c, REC), jnp.float32),
         interpret=interpret,
     )(counts, row0, rec3.reshape(t, 1, c * REC), out, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def blend_tiles(rec3, counts, row0, nbx, nty, interpret):
-    """rec3 (T, C, REC), counts (T,), row0 (1,) -> (T, OUT_CH, BY, BX)."""
-    return _blend_call(rec3, counts, row0, nbx=nbx, nty=nty,
-                       interpret=interpret)
+MERGE_BS = 8192  # compacted slots per merge output block
 
 
-def _blend_fwd(rec3, counts, row0, nbx, nty, interpret):
-    out = _blend_call(rec3, counts, row0, nbx=nbx, nty=nty,
-                      interpret=interpret)
-    return out, (rec3, counts, row0, out)
+def _merge_kernel(starts_ref, gpos_ref, dcol_ref, out_ref, *, nbx: int):
+    """Merge per-column packed gradient accumulators into compacted order.
+
+    Grid (KB, nbx): for output block kb (MERGE_BS compacted slots), each
+    column contributes the contiguous slot range [starts[col, kb],
+    starts[col, kb+1]) of its accumulator (column entries are ascending in
+    global compacted position by construction). Pure sequential RMW —
+    targets are unique within a column and the grid is serial across
+    columns, so no write conflicts exist."""
+    kb = pl.program_id(0)
+    col = pl.program_id(1)
+
+    @pl.when(col == 0)
+    def _():
+        out_ref[0] = jnp.zeros((MERGE_BS, LANES), jnp.float32)
+
+    base = kb * MERGE_BS
+    lane = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    keep = lane < REC
+
+    def body(e, _):
+        t = gpos_ref[0, 0, e] - base
+        row = dcol_ref[0, pl.ds(e // PACK, 1), :]
+        rolled = pltpu.roll(row, (LANES - (e % PACK) * REC) % LANES, 1)
+        val = jnp.where(keep, rolled, 0.0)
+        out_ref[0, pl.ds(t, 1), :] = out_ref[0, pl.ds(t, 1), :] + val
+        return 0
+
+    lax.fori_loop(starts_ref[col, kb], starts_ref[col, kb + 1], body, 0)
+
+
+def _merge_columns(dcol, col_gpos, col_cnt, kp, *, interpret):
+    """dcol (nbx, crp, LANES) + per-column global positions -> (kp, REC)."""
+    nbx, crp, _ = dcol.shape
+    kb = -(-kp // MERGE_BS)
+    col_cap = col_gpos.shape[1]
+    slot = jnp.arange(col_cap, dtype=jnp.int32)[None, :]
+    # Sentinel past each column's live prefix: larger than any block bound
+    # so searchsorted ranges never cover invalid slots.
+    gvalid = jnp.where(slot < col_cnt[:, None], col_gpos, jnp.int32(1 << 30))
+    bounds = jnp.arange(kb + 1, dtype=jnp.int32) * MERGE_BS
+    starts = jax.vmap(
+        lambda g: jnp.searchsorted(g, bounds, side="left"))(gvalid)
+    starts = starts.astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kb, nbx),
+        in_specs=[
+            # Per-column global positions as a blocked SMEM operand (a
+            # full-array scalar prefetch would be ~1MB and overflow SMEM).
+            pl.BlockSpec((1, 1, col_cap),
+                         lambda kbi, ci, st: (ci, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, crp, LANES),
+                         lambda kbi, ci, st: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, MERGE_BS, LANES),
+                               lambda kbi, ci, st: (kbi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel, nbx=nbx),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kb, MERGE_BS, LANES), jnp.float32),
+        interpret=interpret,
+    )(starts, col_gpos.reshape(nbx, 1, col_cap), dcol)
+    return out.reshape(kb * MERGE_BS, LANES)[:kp, :REC]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def blend_tiles(rec_c, tile_pos, counts, row0, colpos, col_gpos, col_cnt,
+                nbx, nty, interpret):
+    """Gather + blend with a scatter-free backward.
+
+    rec_c (K, REC) depth-compacted records, tile_pos (T, C) compacted
+    slots per tile, colpos (T, C) column-local slots, col_gpos
+    (nbx, col_cap) global slot of each column entry, counts/col_cnt list
+    lengths -> (T, OUT_CH, BY, BX). The gather rec_c[tile_pos] lives
+    INSIDE the custom_vjp so the backward can route gradients through the
+    column accumulators instead of XLA's scatter-add (9.7ms/frame)."""
+    rec3 = rec_c[tile_pos]
+    return _blend_call(rec3, counts, row0, nty=nty, interpret=interpret)
+
+
+def _blend_fwd(rec_c, tile_pos, counts, row0, colpos, col_gpos, col_cnt,
+               nbx, nty, interpret):
+    rec3 = rec_c[tile_pos]
+    out = _blend_call(rec3, counts, row0, nty=nty, interpret=interpret)
+    return out, (rec_c, tile_pos, counts, row0, out, colpos, col_gpos,
+                 col_cnt)
 
 
 def _blend_bwd(nbx, nty, interpret, res, dout):
-    rec3, counts, row0, out = res
-    drec = _blend_bwd_call(rec3, counts, row0, out, dout, nbx=nbx,
-                           interpret=interpret)
-    return drec, None, None
+    rec_c, tile_pos, counts, row0, out, colpos, col_gpos, col_cnt = res
+    rec3 = rec_c[tile_pos]
+    drec3 = _blend_bwd_call(rec3, counts, row0, out, dout, nty=nty,
+                            interpret=interpret)
+    drec_c = jnp.zeros_like(rec_c).at[tile_pos.reshape(-1)].add(
+        drec3.reshape(-1, REC))
+    return drec_c, None, None, None, None, None, None
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
@@ -491,25 +595,28 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
     k_vis = min(settings.vis_capacity or n, n)
 
-    comp, tile_pos, tile_valid, raw_counts, bin_counts = _bin_rect(
+    (comp, tile_pos, colpos, col_gpos, col_cnt, tile_valid, raw_counts,
+     bin_counts) = _bin_rect(
         splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         interpret=interpret)
     counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
     pad_cols = (-tile_pos.shape[1]) % CHUNK
     if pad_cols:
         tile_pos = jnp.pad(tile_pos, ((0, 0), (0, pad_cols)))
+        colpos = jnp.pad(colpos, ((0, 0), (0, pad_cols)))
         tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad_cols)))
 
     rec = pack_records(splats)                  # (N, REC) differentiable
     rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
-    rec3 = rec_c[tile_pos]                      # (T, C, REC)
 
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
-    out = blend_tiles(rec3, counts, row0, nbx, nty, interpret)
+    out = blend_tiles(rec_c, tile_pos, counts, row0, colpos, col_gpos,
+                      col_cnt, nbx, nty, interpret)
 
     def untile(ch):
-        a = out[:, ch].reshape(nty, nbx, BY, BX)
-        a = jnp.moveaxis(a, 1, 2).reshape(nty * BY, nbx * BX)
+        # column-major tile rows: t = tix*nty + tiy
+        a = out[:, ch].reshape(nbx, nty, BY, BX)
+        a = jnp.transpose(a, (1, 2, 0, 3)).reshape(nty * BY, nbx * BX)
         return a[:h, :w] if full else a
 
     t_final = untile(3)
@@ -580,6 +687,14 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         gchan, jnp.zeros((nbx,), jnp.int32), col_cap,
         parent_counts=jnp.broadcast_to(n_vis, (nbx,)), interpret=interpret)
 
+    # Column-local slot index: L1's output slot IS the column-local
+    # position, so the channel is a free broadcasted iota. Carried through
+    # L2/L3 it lets the backward kernel accumulate gradients per column
+    # without any XLA scatter (see _bwd_kernel).
+    cl_iota = jnp.broadcast_to(
+        jnp.arange(col_cap, dtype=f32)[None, :], (nbx, col_cap))
+    cchan = cchan + (cl_iota,)
+
     # L2: coarse bins from their column's candidates (y test only matters).
     nb = nby_c * nbx
     bix = jnp.arange(nb, dtype=f32) % nbx
@@ -593,10 +708,12 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         parent_counts=jnp.minimum(col_cnt, col_cap)[bin_parent],
         interpret=interpret)
 
-    # L3: fine tiles from their bin's candidates.
+    # L3: fine tiles from their bin's candidates. Tile rows are
+    # COLUMN-major (t = tix*nty + tiy) so the backward kernel can keep one
+    # column accumulator resident across a column's consecutive grid steps.
     t = nty * nbx
-    tix = jnp.arange(t, dtype=jnp.int32) % nbx
-    tiy = jnp.arange(t, dtype=jnp.int32) // nbx
+    tix = jnp.arange(t, dtype=jnp.int32) // nty
+    tiy = jnp.arange(t, dtype=jnp.int32) % nty
     bin_of_tile = (tiy // cby) * nbx + tix
     tx0 = (tix * BX).astype(f32)
     ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
@@ -606,8 +723,18 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         parent_counts=jnp.minimum(bin_counts, bin_capk)[bin_of_tile],
         interpret=interpret)
 
-    tile_pos = tchan[4][:, :cap].astype(jnp.int32)
+    def to_cap(a):
+        """Slice/pad the (T, capk) channel to exactly (T, cap)."""
+        a = a[:, :cap]
+        if a.shape[1] < cap:
+            a = jnp.pad(a, ((0, 0), (0, cap - a.shape[1])))
+        return a
+
+    tile_pos = to_cap(tchan[4].astype(jnp.int32))
     tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
     tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
     tile_pos = jnp.where(tile_valid, tile_pos, 0)
-    return comp, tile_pos, tile_valid, counts, bin_counts
+    colpos = jnp.where(tile_valid, to_cap(tchan[5].astype(jnp.int32)), 0)
+    col_gpos = cchan[4].astype(jnp.int32)
+    return (comp, tile_pos, colpos, col_gpos, col_cnt, tile_valid, counts,
+            bin_counts)
