@@ -100,8 +100,8 @@ def main():
 
     binned = jax.jit(
         lambda s: pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n))(splats)
-    comp, tile_pos, colpos, col_gpos, col_cnt = binned[:5]
-    counts = jnp.minimum(binned[6], cap).astype(jnp.int32)
+    comp, tile_pos = binned[:2]
+    counts = jnp.minimum(binned[3], cap).astype(jnp.int32)
     row0 = jnp.zeros((1,), jnp.int32)
 
     if "gather" in stages:
@@ -109,11 +109,11 @@ def main():
             pb.pack_records(s)[comp.perm][tp][:, :, 0]), (splats, tile_pos))
 
     rec_c = jax.jit(lambda s: pb.pack_records(s)[comp.perm])(splats)
+    pack_cap = 32768
 
     def blend_sum(rc):
         return jnp.sum(pb.blend_tiles(
-            rc, tile_pos, counts, row0, colpos, col_gpos, col_cnt,
-            nbx, nty, False))
+            rc, tile_pos, counts, row0, nbx, nty, pack_cap, False))
 
     if "fwd" in stages:
         chain_timed("fwd kernel (+gather)", blend_sum, (rec_c,))

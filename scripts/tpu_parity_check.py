@@ -1,0 +1,75 @@
+"""Compiled-mode (TPU) parity check: pallas backend vs oracle.
+
+The CPU test suite runs the Pallas kernels in interpret mode; this script
+runs the SAME comparisons with compiled kernels on the attached TPU —
+the only way to exercise the Mosaic unrolled/static-store code paths.
+
+Usage: python scripts/tpu_parity_check.py
+Exits nonzero on mismatch.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from tests.test_tiled import _cam, _random_scene, _settings, KEYS  # noqa
+from tpu2dgs.raster.api import render  # noqa: E402
+
+
+def main():
+    import tpu2dgs
+    tpu2dgs.enable_compilation_cache()
+    print("devices:", jax.devices(), flush=True)
+
+    w, h = 150, 90
+    cam = _cam(w, h)
+    scene = _random_scene(n=120, seed=21)
+    bg = jnp.array([0.15, 0.05, 0.3])
+
+    out_o = render(cam, _settings(w, h, "oracle"), *scene, bg)
+    out_p = render(
+        cam, _settings(w, h, "pallas", bin_capacity=256, tile_capacity=128),
+        *scene, bg)
+    for k in KEYS:
+        np.testing.assert_allclose(
+            np.asarray(out_p[k]), np.asarray(out_o[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k)
+    print("forward outputs match", flush=True)
+
+    w, h = 128, 32
+    cam = _cam(w, h)
+    scene = _random_scene(n=48, seed=22)
+    bg = jnp.array([0.05, 0.05, 0.05])
+
+    def loss_terms(out):
+        return (
+            jnp.sum(out["render"] ** 2)
+            + jnp.sum(out["rend_dist"])
+            + 0.1 * jnp.sum(out["rend_normal"] * out["surf_normal"])
+            + 0.05 * jnp.sum(out["depth_median"])
+        )
+
+    def loss(backend, *args):
+        s = (_settings(w, h, "oracle") if backend == "oracle" else
+             _settings(w, h, "pallas", bin_capacity=64, tile_capacity=64))
+        return loss_terms(render(cam, s, *args, bg))
+
+    g_o = jax.grad(lambda *a: loss("oracle", *a), argnums=(0, 1, 2, 3, 4))(
+        *scene)
+    g_p = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3, 4))(
+        *scene)
+    for a, b, name in zip(g_o, g_p, ["xyz", "scl", "rot", "opa", "sh"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-2, atol=1e-4, err_msg=name)
+        # Slightly looser than the CPU interpret test (3e-3/3e-5): compiled
+        # TPU transcendentals + reduction orders differ from the oracle's
+        # XLA lowering; near-cancelling elements see ~1e-2 relative.
+    print("gradients match", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,19 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 
 __version__ = "0.1.0"
 
+# TPU MXU matmuls default to 1-pass bf16-input products; the geometry
+# pipeline (splat->pixel homographies, camera transforms, the oracle's
+# blend einsums) is built from tiny (N,3)@(3,3)-shaped contractions where
+# that truncation moves tmat by ~1e-3 relative — enough to push compiled
+# TPU renders ~4e-3 away from the CPU/interpret goldens. Full-f32 passes
+# cost nothing at these shapes (the hot FLOPs live in the Pallas kernels),
+# so make f32-accurate matmuls the framework default. Kernels that rely on
+# bf16-exact small-integer products (select_kernel) pin
+# Precision.DEFAULT explicitly.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Point JAX at a persistent compilation cache. The fused Pallas

@@ -43,6 +43,8 @@ class RasterSettings:
     tile_capacity: int = 1024    # max splats per fine tile
     vis_capacity: int = 0        # depth-compaction prefix size (0 = all N);
                                  # binning runs over the front-most K visible
+    grad_pack_capacity: int = 0  # pallas backward: packed gradient rows per
+                                 # tile column (0 = 16 * tile_capacity)
     chunk: int = 32              # splats composited per vector step
     debug: bool = False          # pallas: interpreter mode ("sanitizer",
                                  # the reference rasterizer's debug flag)

@@ -59,22 +59,23 @@ def compact_visible(splats: SplatScreen, k: int) -> Compacted:
     depth = lax.stop_gradient(splats.depth)  # +inf where culled
     n = depth.shape[0]
     c = lax.stop_gradient(splats.filter_center)
-    r = splats.radius.astype(jnp.float32)
+    e = lax.stop_gradient(splats.half_extent)
     iota = jnp.arange(n, dtype=jnp.int32)
-    _, order, scx, scy, srr = lax.sort(
-        (depth, iota, c[:, 0], c[:, 1], r), dimension=0, is_stable=True,
-        num_keys=1)
+    _, order, scx, scy, sex, sey = lax.sort(
+        (depth, iota, c[:, 0], c[:, 1], e[:, 0], e[:, 1]), dimension=0,
+        is_stable=True, num_keys=1)
     perm = order[:k].astype(jnp.int32)
     num_visible = jnp.sum(splats.visible, dtype=jnp.int32)
     valid = jnp.arange(k, dtype=jnp.int32) < num_visible
 
     cx = scx[:k]
     cy = scy[:k]
-    rr = srr[:k]
-    x0 = jnp.where(valid, cx - rr, 1e9)
-    x1 = jnp.where(valid, cx + rr, -1e9)
-    y0 = jnp.where(valid, cy - rr, 1e9)
-    y1 = jnp.where(valid, cy + rr, -1e9)
+    ex = sex[:k]
+    ey = sey[:k]
+    x0 = jnp.where(valid, cx - ex, 1e9)
+    x1 = jnp.where(valid, cx + ex, -1e9)
+    y0 = jnp.where(valid, cy - ey, 1e9)
+    y1 = jnp.where(valid, cy + ey, -1e9)
     return Compacted(perm, valid, num_visible, x0, x1, y0, y1)
 
 

@@ -73,7 +73,7 @@ REC = 24
 OUT_CH = 16
 BY = 16   # block pixel rows
 BX = 128  # block pixel cols (one lane register row)
-CHUNK = 16  # splats per early-exit check
+CHUNK = 32  # splats per early-exit check
 
 
 def pack_records(splats: SplatScreen) -> jnp.ndarray:
@@ -144,7 +144,7 @@ def _read_rec(rec_ref, jj):
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
-                n_chunks: int):
+                n_chunks: int, unroll: bool):
     # Grid is COLUMN-major (tile i -> column i//nty, row i%nty) so that the
     # backward kernel's per-column gradient accumulator block stays
     # resident across all of a column's tiles.
@@ -204,6 +204,15 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
                 med, m1, m2, dist, last,
             )
 
+        # Static unroll: each splat's response math is independent of the
+        # serial blend chain, so straight-line code lets Mosaic overlap the
+        # splats' SMEM constant loads + plane math across iterations
+        # (fwd 17.7 -> 12.9 ms/frame on v5e). Interpret mode (CPU tests)
+        # keeps the rolled loop: the unroll only bloats trace time there.
+        if unroll:
+            for k in range(CHUNK):
+                state = splat_body(k, state)
+            return state
         return lax.fori_loop(0, CHUNK, splat_body, state)
 
     def cond(carry):
@@ -236,23 +245,42 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
     out_ref[0, 15] = zeros
 
 
-PACK = 5          # record rows packed per 128-lane accumulator row
-LANES = 128
-
-
-def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref,
-                drec_ref, scratch, *, nty: int, n_chunks: int):
+def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
+                dpack_ref, scratch, *, nty: int, n_chunks: int,
+                pack_cap: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
-    accumulators, emitting per-(tile, entry) gradient rows that XLA
-    scatter-adds back to splats.
+    accumulators, emitting COLUMN-PACKED gradient rows.
 
-    NOTE on the scatter: an in-kernel alternative (accumulating rows at
-    column-local slots in a VMEM accumulator + a column-merge kernel) was
-    built and validated, but measured ~60 cycles/entry for the dynamic
-    sublane read-modify-write chain vs XLA scatter-add's ~13 cycles/row —
-    the XLA scatter wins despite paying for the ~72% list padding."""
+    Each tile stores its gradient rows at its column-local cursor
+    `off_ref[i]` (exclusive prefix sum of CHUNK-aligned counts within the
+    column), so the packed output holds ~live rows instead of the
+    (T, cap, REC) padded form — the XLA scatter-add outside then processes
+    ~4x fewer rows (the padded form measured 15ms/frame at 78% padding).
+    Rows carry their compacted-slot target in channel 21 (record channel 21
+    is overwritten with a slot iota by _blend_fwd), so no index array needs
+    to be packed alongside. Chunk stores past `count` write zero rows with
+    slot 0 (a harmless +=0 in the scatter); rows skipped by the early-exit
+    start_chunk stay zero from the column init.
+
+    The output is stored FLAT-LANE: a chunk's (CHUNK, REC) rows are
+    CHUNK*REC/128 full 128-lane rows, so the (1, pack_cap*REC//128, 128)
+    block has zero lane padding — a (1, pack_cap, REC) block would be
+    lane-padded 24->128 by the (8,128) tiling (5.3x VMEM/HBM, OOMs scoped
+    vmem at pack_cap 32K). Row-major order is identical, so the reshape to
+    (rows, REC) outside is free of index math.
+
+    NOTE: two in-kernel scatter alternatives were built and measured before
+    this design: per-column slot accumulators + a merge kernel (~60
+    cycles/entry dynamic-sublane RMW) and the padded XLA scatter-add (~13
+    cycles/row but over ALL padded rows). Column packing keeps the cheap
+    per-chunk stores AND gives the scatter only live rows."""
     i = pl.program_id(0)
     count = counts_ref[i]
+    off = off_ref[i]
+
+    @pl.when(i % nty == 0)
+    def _():
+        dpack_ref[0] = jnp.zeros(dpack_ref.shape[1:], jnp.float32)
     x0 = ((i // nty) * BX).astype(jnp.float32)
     y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
@@ -274,6 +302,8 @@ def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref,
     dt_term = d_t * t_final  # dL/dT_final * T_final (plane)
 
     zeros = jnp.zeros((BY, BX), jnp.float32)
+    lane0 = (lax.broadcasted_iota(jnp.int32, (1, BX), 1) == 0).astype(
+        jnp.float32)
     # carry: T_cur, acc_w, s_w, s_wm, acc_a, med_done, s_wm2 (for M2b)
     init = (t_final, zeros, zeros, zeros, zeros, zeros, zeros)
 
@@ -366,30 +396,65 @@ def _bwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, dout_ref,
             # dynamic sublane j0 (scalar and dynamic-lane VMEM stores don't
             # lower; batching amortizes the lane-reduce + store).
             w_gated = jnp.where(gate, w, 0.0)
+
+            def put(comp, row):
+                # scratch is flat-lane (CHUNK*REC//128, 128, BX): splat k's
+                # component `comp` lives at flat sublane k*REC + comp.
+                # Unrolled (Mosaic): k static -> static store indices (a
+                # dynamic mid-dim sublane store would not lower). Rolled
+                # (interpret): traced k via pl.ds.
+                f = k * REC + comp
+                if unroll:
+                    scratch[f // 128, (f % 128):(f % 128) + 1, :] = row
+                else:
+                    scratch[f // 128, pl.ds(f % 128, 1), :] = row
+
+            # px is constant along sublanes, so the px-weighted sublane
+            # reductions factor: sum_y(px * d) = px_row * sum_y(d). The
+            # same reduced rows serve components 0-2 and 6-8, saving three
+            # (BY,BX) multiplies and three plane reductions per splat.
+            px_row = px[0:1, :]
+            s_pu = jnp.sum(d_pu, axis=0, keepdims=True)
+            s_pv = jnp.sum(d_pv, axis=0, keepdims=True)
+            s_pw = jnp.sum(d_pw, axis=0, keepdims=True)
+            put(0, px_row * s_pu)
+            put(1, px_row * s_pv)
+            put(2, px_row * s_pw)
+            put(6, s_pu)
+            put(7, s_pv)
+            put(8, s_pw)
             partials = [
-                px * d_pu, px * d_pv, px * d_pw,
                 py * d_pu, py * d_pv, py * d_pw,
-                d_pu, d_pv, d_pw,
                 su * d_d_g, sv * d_d_g, d_d_g,
                 w_gated * d_rgb[0], w_gated * d_rgb[1], w_gated * d_rgb[2],
                 w_gated * d_nrm[0], w_gated * d_nrm[1], w_gated * d_nrm[2],
                 d_op_plane,
             ]
-            for comp, plane in enumerate(partials):
-                scratch[k, comp:comp + 1, :] = jnp.sum(
-                    plane, axis=0, keepdims=True)
+            comps = [3, 4, 5, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18]
+            for comp, plane in zip(comps, partials):
+                put(comp, jnp.sum(plane, axis=0, keepdims=True))
+            # Compacted-slot target rides in channel 21 (lane 0 only, so
+            # the chunk's lane reduction recovers it exactly); zero past
+            # `count` so stray rows scatter zeros to slot 0.
+            sl = jnp.where(jj < count, rec_ref[0, 0, jj * REC + 21], 0.0)
+            put(21, lane0 * sl)
 
             return (t_before, acc_w, s_w, s_wm, acc_a, med_done, s_wm2)
 
-        carry = lax.fori_loop(0, CHUNK, splat_body, carry)
-        rows = jnp.sum(scratch[:, :, :], axis=2)  # (CHUNK, REC)
-        drec_ref[0, pl.ds(j0, CHUNK), :] = rows
+        # Static unroll (see _fwd_kernel.chunk_body).
+        if unroll:
+            for kk in range(CHUNK):
+                carry = splat_body(kk, carry)
+        else:
+            carry = lax.fori_loop(0, CHUNK, splat_body, carry)
+        rows = jnp.sum(scratch[:, :, :], axis=2)  # (CHUNK*REC//128, 128)
+        base = jnp.minimum(off + j0, pack_cap - CHUNK) * REC // 128
+        dpack_ref[0, pl.ds(base, CHUNK * REC // 128), :] = rows
         return carry
 
-    # zero the full gradient block first (rows beyond count stay zero)
-    drec_ref[0] = jnp.zeros(drec_ref.shape[1:], jnp.float32)
     scratch[:, :, :] = jnp.zeros(
-        (CHUNK, REC, BX), jnp.float32)  # component rows 19..23 stay 0
+        scratch.shape, jnp.float32)  # flat rows for channels 19/20/22/23
+    # of every splat stay 0 across the whole kernel
 
     def cond(carry):
         c, _ = carry
@@ -430,145 +495,101 @@ def _blend_call(rec3, counts, row0, *, nty, interpret):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nty=nty, n_chunks=n_chunks),
+        functools.partial(_fwd_kernel, nty=nty, n_chunks=n_chunks,
+                          unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
     )(counts, row0, rec3.reshape(t, 1, c * REC))
 
 
-def _blend_bwd_call(rec3, counts, row0, out, dout, *, nty, interpret):
+def _column_offsets(counts, nbx, nty):
+    """Column-local packed row cursor per tile: exclusive prefix of
+    CHUNK-aligned counts within each tile column (grid/tile order is
+    column-major). Chunk alignment keeps every store's flat-lane offset
+    (off+j0)*REC divisible by 128; the <CHUNK/2 zero rows per tile scatter
+    +=0 to slot 0."""
+    cc = -(-counts.reshape(nbx, nty) // CHUNK) * CHUNK
+    return (jnp.cumsum(cc, axis=1) - cc).reshape(-1).astype(jnp.int32)
+
+
+def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, pack_cap,
+                    interpret):
     t, c, _ = rec3.shape
     n_chunks = -(-c // CHUNK)
+    nbx = t // nty
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, 1, c * REC), lambda i, counts, row0: (i, 0, 0),
+            pl.BlockSpec((1, 1, c * REC), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX),
-                         lambda i, counts, row0: (i, 0, 0, 0),
+                         lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX),
-                         lambda i, counts, row0: (i, 0, 0, 0),
+                         lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, REC), lambda i, counts, row0: (i, 0, 0),
+        # One packed block per tile COLUMN: consecutive grid steps (the
+        # column's tiles, grid is column-major) revisit the same block, so
+        # it stays resident in VMEM across the column and flushes once.
+        # Flat-lane layout (see _bwd_kernel): zero lane padding.
+        out_specs=pl.BlockSpec((1, pack_cap * REC // 128, 128),
+                               lambda i, *_: (i // nty, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((CHUNK, REC, BX), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK * REC // 128, 128, BX), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nty=nty, n_chunks=n_chunks),
+        functools.partial(_bwd_kernel, nty=nty, n_chunks=n_chunks,
+                          pack_cap=pack_cap, unroll=not interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, c, REC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nbx, pack_cap * REC // 128, 128), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3.reshape(t, 1, c * REC), out, dout)
+    )(counts, row0, off, rec3.reshape(t, 1, c * REC), out, dout)
 
 
-MERGE_BS = 8192  # compacted slots per merge output block
-
-
-def _merge_kernel(starts_ref, gpos_ref, dcol_ref, out_ref, *, nbx: int):
-    """Merge per-column packed gradient accumulators into compacted order.
-
-    Grid (KB, nbx): for output block kb (MERGE_BS compacted slots), each
-    column contributes the contiguous slot range [starts[col, kb],
-    starts[col, kb+1]) of its accumulator (column entries are ascending in
-    global compacted position by construction). Pure sequential RMW —
-    targets are unique within a column and the grid is serial across
-    columns, so no write conflicts exist."""
-    kb = pl.program_id(0)
-    col = pl.program_id(1)
-
-    @pl.when(col == 0)
-    def _():
-        out_ref[0] = jnp.zeros((MERGE_BS, LANES), jnp.float32)
-
-    base = kb * MERGE_BS
-    lane = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    keep = lane < REC
-
-    def body(e, _):
-        t = gpos_ref[0, 0, e] - base
-        row = dcol_ref[0, pl.ds(e // PACK, 1), :]
-        rolled = pltpu.roll(row, (LANES - (e % PACK) * REC) % LANES, 1)
-        val = jnp.where(keep, rolled, 0.0)
-        out_ref[0, pl.ds(t, 1), :] = out_ref[0, pl.ds(t, 1), :] + val
-        return 0
-
-    lax.fori_loop(starts_ref[col, kb], starts_ref[col, kb + 1], body, 0)
-
-
-def _merge_columns(dcol, col_gpos, col_cnt, kp, *, interpret):
-    """dcol (nbx, crp, LANES) + per-column global positions -> (kp, REC)."""
-    nbx, crp, _ = dcol.shape
-    kb = -(-kp // MERGE_BS)
-    col_cap = col_gpos.shape[1]
-    slot = jnp.arange(col_cap, dtype=jnp.int32)[None, :]
-    # Sentinel past each column's live prefix: larger than any block bound
-    # so searchsorted ranges never cover invalid slots.
-    gvalid = jnp.where(slot < col_cnt[:, None], col_gpos, jnp.int32(1 << 30))
-    bounds = jnp.arange(kb + 1, dtype=jnp.int32) * MERGE_BS
-    starts = jax.vmap(
-        lambda g: jnp.searchsorted(g, bounds, side="left"))(gvalid)
-    starts = starts.astype(jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(kb, nbx),
-        in_specs=[
-            # Per-column global positions as a blocked SMEM operand (a
-            # full-array scalar prefetch would be ~1MB and overflow SMEM).
-            pl.BlockSpec((1, 1, col_cap),
-                         lambda kbi, ci, st: (ci, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, crp, LANES),
-                         lambda kbi, ci, st: (ci, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, MERGE_BS, LANES),
-                               lambda kbi, ci, st: (kbi, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        functools.partial(_merge_kernel, nbx=nbx),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kb, MERGE_BS, LANES), jnp.float32),
-        interpret=interpret,
-    )(starts, col_gpos.reshape(nbx, 1, col_cap), dcol)
-    return out.reshape(kb * MERGE_BS, LANES)[:kp, :REC]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def blend_tiles(rec_c, tile_pos, counts, row0, colpos, col_gpos, col_cnt,
-                nbx, nty, interpret):
-    """Gather + blend with a scatter-free backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def blend_tiles(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,
+                interpret):
+    """Gather + blend with a column-packed scatter backward.
 
     rec_c (K, REC) depth-compacted records, tile_pos (T, C) compacted
-    slots per tile, colpos (T, C) column-local slots, col_gpos
-    (nbx, col_cap) global slot of each column entry, counts/col_cnt list
-    lengths -> (T, OUT_CH, BY, BX). The gather rec_c[tile_pos] lives
-    INSIDE the custom_vjp so the backward can route gradients through the
-    column accumulators instead of XLA's scatter-add (9.7ms/frame)."""
+    slots per tile, counts (T,) list lengths -> (T, OUT_CH, BY, BX).
+    The gather rec_c[tile_pos] lives INSIDE the custom_vjp: the forward
+    stamps each record's compacted slot into pad channel 21 before
+    gathering, the backward kernel emits column-packed gradient rows
+    carrying that slot, and one XLA scatter-add over ~live rows (instead
+    of all T*C padded rows) routes them back to compacted records."""
     rec3 = rec_c[tile_pos]
     return _blend_call(rec3, counts, row0, nty=nty, interpret=interpret)
 
 
-def _blend_fwd(rec_c, tile_pos, counts, row0, colpos, col_gpos, col_cnt,
-               nbx, nty, interpret):
-    rec3 = rec_c[tile_pos]
+def _blend_fwd(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,
+               interpret):
+    k = rec_c.shape[0]
+    rec_cs = rec_c.at[:, 21].set(jnp.arange(k, dtype=rec_c.dtype))
+    rec3 = rec_cs[tile_pos]
     out = _blend_call(rec3, counts, row0, nty=nty, interpret=interpret)
-    return out, (rec_c, tile_pos, counts, row0, out, colpos, col_gpos,
-                 col_cnt)
+    # rec3 (with the slot channel) is the residual: the backward skips the
+    # re-gather entirely. rec_c rides along only for its shape/dtype.
+    return out, (rec_c, rec3, counts, row0, out)
 
 
-def _blend_bwd(nbx, nty, interpret, res, dout):
-    rec_c, tile_pos, counts, row0, out, colpos, col_gpos, col_cnt = res
-    rec3 = rec_c[tile_pos]
-    drec3 = _blend_bwd_call(rec3, counts, row0, out, dout, nty=nty,
-                            interpret=interpret)
-    drec_c = jnp.zeros_like(rec_c).at[tile_pos.reshape(-1)].add(
-        drec3.reshape(-1, REC))
-    return drec_c, None, None, None, None, None, None
+def _blend_bwd(nbx, nty, pack_cap, interpret, res, dout):
+    rec_c, rec3, counts, row0, out = res
+    off = _column_offsets(counts, nbx, nty)
+    dpack = _blend_bwd_call(rec3, counts, off, row0, out, dout, nty=nty,
+                            pack_cap=pack_cap, interpret=interpret)
+    flat = dpack.reshape(-1, REC)
+    idx = flat[:, 21].astype(jnp.int32)
+    drec_c = jnp.zeros_like(rec_c).at[idx].add(flat)
+    # Channel 21 accumulated slot ids; the record's own channel 21 is a
+    # zero pad whose gradient must be zero.
+    drec_c = drec_c * (jnp.arange(REC) != 21).astype(drec_c.dtype)[None, :]
+    return drec_c, None, None, None
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
@@ -595,23 +616,30 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
     k_vis = min(settings.vis_capacity or n, n)
 
-    (comp, tile_pos, colpos, col_gpos, col_cnt, tile_valid, raw_counts,
-     bin_counts) = _bin_rect(
+    (comp, tile_pos, tile_valid, raw_counts, bin_counts) = _bin_rect(
         splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         interpret=interpret)
     counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
     pad_cols = (-tile_pos.shape[1]) % CHUNK
     if pad_cols:
         tile_pos = jnp.pad(tile_pos, ((0, 0), (0, pad_cols)))
-        colpos = jnp.pad(colpos, ((0, 0), (0, pad_cols)))
         tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad_cols)))
 
     rec = pack_records(splats)                  # (N, REC) differentiable
     rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
 
+    # Per-column capacity of the backward's packed gradient rows: the sum
+    # of a column's tile counts, plus a chunk-alignment slack per tile.
+    pack_cap = getattr(settings, "grad_pack_capacity", 0) or (
+        16 * _round128(max(cap, 128)))
+    pack_cap = min(_round128(pack_cap), _round128(nty * cap))
+
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
-    out = blend_tiles(rec_c, tile_pos, counts, row0, colpos, col_gpos,
-                      col_cnt, nbx, nty, interpret)
+    out = blend_tiles(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,
+                      interpret)
+    # Max packed write extent per column = sum of its CHUNK-aligned counts
+    # (each tile's span is chunk-aligned; see _column_offsets).
+    col_tail = jnp.sum(-(-counts.reshape(nbx, nty) // CHUNK) * CHUNK, axis=1)
 
     def untile(ch):
         # column-major tile rows: t = tix*nty + tiy
@@ -635,6 +663,10 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         "_aux_bin_overflow_frac": jnp.mean(
             (bin_counts > bin_cap).astype(jnp.float32)),
         "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
+        # fraction of tile columns whose packed gradient rows exceeded
+        # grad_pack_capacity (backward gradients corrupted in the tail)
+        "_aux_grad_pack_overflow_frac": jnp.mean(
+            (col_tail > pack_cap).astype(jnp.float32)),
     }
     return image, allmap
 
@@ -687,14 +719,6 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         gchan, jnp.zeros((nbx,), jnp.int32), col_cap,
         parent_counts=jnp.broadcast_to(n_vis, (nbx,)), interpret=interpret)
 
-    # Column-local slot index: L1's output slot IS the column-local
-    # position, so the channel is a free broadcasted iota. Carried through
-    # L2/L3 it lets the backward kernel accumulate gradients per column
-    # without any XLA scatter (see _bwd_kernel).
-    cl_iota = jnp.broadcast_to(
-        jnp.arange(col_cap, dtype=f32)[None, :], (nbx, col_cap))
-    cchan = cchan + (cl_iota,)
-
     # L2: coarse bins from their column's candidates (y test only matters).
     nb = nby_c * nbx
     bix = jnp.arange(nb, dtype=f32) % nbx
@@ -734,7 +758,4 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
     tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
     tile_pos = jnp.where(tile_valid, tile_pos, 0)
-    colpos = jnp.where(tile_valid, to_cap(tchan[5].astype(jnp.int32)), 0)
-    col_gpos = cchan[4].astype(jnp.int32)
-    return (comp, tile_pos, colpos, col_gpos, col_cnt, tile_valid, counts,
-            bin_counts)
+    return (comp, tile_pos, tile_valid, counts, bin_counts)

@@ -47,6 +47,10 @@ class SplatScreen(NamedTuple):
     filter_center: jnp.ndarray  # (N,2) conic AABB center, for the low-pass term
     depth: jnp.ndarray     # (N,) view-space center depth (sort key); +inf if culled
     radius: jnp.ndarray    # (N,) int32 screen radius in pixels; 0 if culled
+    half_extent: jnp.ndarray  # (N,2) per-axis conic half extents (>= the
+                           # low-pass footprint); binning AABBs — much
+                           # tighter than the square max-radius box for
+                           # anisotropic surfels
     visible: jnp.ndarray   # (N,) bool
 
 
@@ -176,5 +180,6 @@ def preprocess(
         filter_center=lax.stop_gradient(center),
         depth=depth,
         radius=radius,
+        half_extent=jnp.maximum(half_extent, MIN_RADIUS),
         visible=visible,
     )

@@ -104,10 +104,12 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
             # exact {0,1} products.
             hit_sub = lax.dot_general(
                 ident, hf8, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)            # (LB, 8)
+                preferred_element_type=f32,
+                precision=lax.Precision.DEFAULT)       # (LB, 8)
             lc8 = lax.dot_general(
                 tril, hit_sub, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)            # (LB, 8) ranks
+                preferred_element_type=f32,
+                precision=lax.Precision.DEFAULT)       # (LB, 8) ranks
 
             def sub_body(k, carry):
                 # k is a Python int (unrolled): static lane slices. Empty

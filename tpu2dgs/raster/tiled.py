@@ -47,13 +47,6 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _aabb(splats: SplatScreen):
-    """Per-splat conservative screen AABB (x0, x1, y0, y1), stop-gradient."""
-    c = lax.stop_gradient(splats.filter_center)
-    r = splats.radius.astype(jnp.float32)
-    return c[:, 0] - r, c[:, 0] + r, c[:, 1] - r, c[:, 1] + r
-
-
 def _overlaps(x0, x1, y0, y1, bx0, bx1, by0, by1):
     """AABB intersection test, broadcasting splat axes against bin axes."""
     return (x0 <= bx1) & (x1 >= bx0) & (y0 <= by1) & (y1 >= by0)
