@@ -38,8 +38,16 @@ def build():
 
     settings = RasterSettings(
         width=w, height=h, sh_degree=3, backend=backend,
-        bin_capacity=8192 if backend == "pallas" else 4096,
-        tile_capacity=2048 if backend == "pallas" else 512,
+        bin_capacity=int(os.environ.get(
+            "BENCH_BIN_CAP", 8192 if backend == "pallas" else 4096)),
+        tile_capacity=int(os.environ.get(
+            "BENCH_TILE_CAP", 2048 if backend == "pallas" else 512)),
+        # 24576 covers this scene's per-column packed-row sums (~22.7K incl
+        # chunk slack) with the _aux_grad_pack_overflow_frac counter
+        # guarding the headroom; the generic default (16*cap) is safe but
+        # ~1.5ms slower on the scatter.
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 24576)),
+        vis_capacity=int(os.environ.get("BENCH_VIS_CAP", 0)),
     )
     cam = cameras.Camera(
         uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),

@@ -83,6 +83,53 @@ def test_sharded_trainer_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_splat_sharded_trainer_matches_single_device():
+    """Gaussian parallelism end to end: Trainer with shard_splats=True
+    (params sharded over the mesh, survivors all-gathered) reproduces
+    single-device training on the pallas backend."""
+    w = h = 128
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=16, seed=7)
+    cams = [_orbit_camera(i, a, w=w, h=h)
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 4,
+                                              endpoint=False))]
+    settings = RasterSettings(width=w, height=h, sh_degree=0,
+                              backend="pallas", bin_capacity=128,
+                              tile_capacity=128, debug=True)
+    for cam in cams:
+        out = render(cam.arrays(), settings, *gt_splats, jnp.zeros(3))
+        cam.image = np.asarray(out["render"])
+
+    rng = np.random.default_rng(4)
+    init_pts = gt_xyz + rng.normal(scale=0.04,
+                                   size=gt_xyz.shape).astype(np.float32)
+
+    def run(mesh, shard, iters):
+        model = splats_lib.create_from_pcd(init_pts, gt_rgb, capacity=64)
+        cfg = TrainConfig(densify_from_iter=10_000,
+                          opacity_reset_interval=10_000,
+                          normal_from_iter=5, dist_from_iter=10_000,
+                          lambda_normal=0.01)
+        tr = Trainer(
+            model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+            train_cfg=cfg, max_sh_degree=0,
+            raster_kwargs=dict(backend="pallas", bin_capacity=128,
+                               tile_capacity=128, debug=True),
+            seed=1, mesh=mesh, shard_splats=shard,
+        )
+        tr.train(num_iters=iters)
+        return tr
+
+    s = run(None, False, 10)
+    m = run(make_mesh(8), True, 10)
+    np.testing.assert_allclose(
+        np.asarray(m.model.params.xyz),
+        np.asarray(s.model.params.xyz), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(m.model.params.opacity),
+        np.asarray(s.model.params.opacity), atol=5e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_pallas_strips_interpret():
     """The flagship Pallas strips under shard_map (interpret mode on the
     CPU mesh) agree with the unsharded pallas render."""

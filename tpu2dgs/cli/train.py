@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard rendering over this many devices (0 = all available); "
         "tile rows are split across a jax.sharding.Mesh and splat "
         "gradients are psum'd (tpu2dgs/parallel/sharded.py)")
+    parser.add_argument(
+        "--shard_mode", choices=("rows", "splats"), default="rows",
+        help="multi-device mode: 'rows' = tile-row sharding with "
+        "replicated splats; 'splats' = gaussian parallelism (1/D params "
+        "+ per-splat work per device, survivors all-gathered; pallas "
+        "backend, capacity divisible by n_devices)")
     return parser
 
 
@@ -157,7 +163,9 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         from tpu2dgs.parallel.sharded import make_mesh
 
         mesh = make_mesh(n_dev)
-        print(f"Sharding tile rows over {n_dev} devices")
+        mode = ("splat params (gaussian parallel)"
+                if args.shard_mode == "splats" else "tile rows")
+        print(f"Sharding {mode} over {n_dev} devices")
 
     trainer = Trainer(
         model, scene.train_cameras, w, h,
@@ -166,6 +174,7 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         white_background=model_p.white_background,
         max_sh_degree=model_p.sh_degree, seed=args.seed,
         log_fn=log_fn, max_capacity=args.max_capacity, mesh=mesh,
+        shard_splats=(args.shard_mode == "splats" and mesh is not None),
     )
     if not args.disable_viewer:
         from tpu2dgs.viewer.network_gui import NetworkGUI

@@ -1,8 +1,9 @@
-"""Device-mesh parallel rendering: tile rows sharded across chips.
+"""Device-mesh parallel rendering: tile-row sharding and splat sharding.
 
 The reference is strictly single-GPU (SURVEY.md §2 "Parallelism" — no
-distributed counterpart exists); this is the TPU-native scaling design:
+distributed counterpart exists); these are the TPU-native scaling designs:
 
+`rasterize_sharded` — tile-row (data/pixel) parallelism:
   * image tile rows are sharded over a 1-D mesh axis via `shard_map`; each
     device bins and blends only its strip of the image (the rasterizer's
     dominant cost scales with pixels),
@@ -12,6 +13,18 @@ distributed counterpart exists); this is the TPU-native scaling design:
     the rest of the backward,
   * losses and everything downstream consume the row-sharded image under
     plain GSPMD (SSIM's 11x11 window halo is handled by the partitioner).
+
+`rasterize_splat_sharded` — gaussian (model) parallelism on the SAME axis:
+  * splat parameter arrays are sharded over the mesh (1/D params, grads
+    and Adam state per device — the scaling mode for 10M+ splat scenes),
+  * each device preprocesses + depth-compacts only ITS 1/D splats (the
+    per-splat pipeline that tile-row sharding replicates),
+  * the compacted VISIBLE survivors (records + screen AABBs + depth) are
+    all-gathered over ICI — k_vis/D rows per device, not N — and merged
+    into the global front-to-back order by a (depth, global-id) sort,
+  * each device then bins + blends its tile-row strip against the merged
+    survivors; the all_gather's transpose (psum-scatter) routes record
+    gradients back to each splat's owner automatically.
 
 Strips are allocated in units of `coarse_tiles` tile rows so per-device
 coarse bins stay aligned with the global bin grid.
@@ -103,3 +116,119 @@ def rasterize_sharded(
     img = img[:h, :w]
     allmap = {k: v[:h, :w] for k, v in allmap.items()}
     return img, allmap
+
+
+def rasterize_splat_sharded(
+    cam,
+    settings,
+    xyz, scaling, rotation, opacity, features,
+    bg_color: jnp.ndarray,
+    mesh: Mesh,
+    mean2d_offset=None,
+    live=None,
+    override_color=None,
+    axes_override=None,
+    axis: str = ROWS_AXIS,
+):
+    """Gaussian-parallel rendering (pallas backend): splat params sharded
+    over `axis`, compacted visible survivors all-gathered, tile-row strips
+    blended per device. See the module docstring for the design.
+
+    Returns (image (H,W,3), allmap, radius (N,), mean2d (N,2)) — image/
+    allmap row-sharded, radius/mean2d splat-sharded over `axis`."""
+    from tpu2dgs.raster import binning
+    from tpu2dgs.raster import pallas_backend as pb
+    from tpu2dgs.raster import preprocess as pre
+
+    w, h = settings.width, settings.height
+    n = xyz.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(
+            f"splat sharding needs capacity divisible by the mesh: "
+            f"{n} % {n_dev} != 0 (grow the model capacity)")
+    n_loc = n // n_dev
+
+    k_vis = min(settings.vis_capacity or n, n)
+    k_loc = min(n_loc, max(128, -(-(-(-k_vis // n_dev)) // 128) * 128))
+
+    nbx = -(-w // pb.BX)
+    nty = -(-h // pb.BY)
+    rows_per = -(-(-(-nty // n_dev)) // 4) * 4  # whole coarse-bin rows
+
+    cap = min(settings.tile_capacity, max(n, 1))
+    bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
+    interpret = settings.debug
+
+    if mean2d_offset is None:
+        mean2d_offset = jnp.zeros((n, 2), jnp.float32)
+    if live is None:
+        live = jnp.ones((n,), bool)
+    oc = override_color
+    ao = axes_override
+
+    def shard_fn(xyz, scaling, rotation, opacity, features, off, live_,
+                 bg, oc_, ao_):
+        d = lax.axis_index(axis)
+        splats = pre.preprocess(
+            xyz, scaling, rotation, opacity.reshape(-1), features, cam, w, h,
+            settings.sh_degree, mean2d_offset=off,
+            scale_modifier=settings.scale_modifier, live=live_,
+            override_color=oc_, axes_override=ao_)
+        comp = binning.compact_visible(splats, k_loc)
+        rec_loc = pb.pack_records(splats)[comp.perm]   # (k_loc, REC)
+
+        # Global splat id — the cross-device tie-break that reproduces the
+        # single-device (depth, id) composite order exactly (params are
+        # axis-0 concatenated across the mesh, so gid = d*n_loc + local).
+        gid = (d * n_loc + comp.perm).astype(jnp.int32)
+        gid = jnp.where(comp.valid, gid, jnp.int32(2**31 - 1))
+
+        def ag(a):
+            return lax.all_gather(a, axis, tiled=True)
+
+        rec_g = ag(rec_loc)                            # (K, REC)
+        slot = jnp.arange(rec_g.shape[0], dtype=jnp.int32)
+        _, _, sx0, sx1, sy0, sy1, sslot = lax.sort(
+            (ag(comp.depth), ag(gid), ag(comp.x0), ag(comp.x1),
+             ag(comp.y0), ag(comp.y1), slot),
+            dimension=0, is_stable=True, num_keys=2)
+        rec_c = rec_g[sslot]                           # global depth order
+
+        n_vis = lax.psum(jnp.minimum(comp.num_visible, k_loc), axis)
+        tile_pos, tile_valid, counts, bin_counts = pb._bin_boxes(
+            sx0, sx1, sy0, sy1, n_vis, nbx, rows_per, bin_cap, cap,
+            d * rows_per, interpret=interpret)
+
+        aux = {
+            "_aux_bin_overflow_frac": jnp.mean(
+                (bin_counts > bin_cap).astype(jnp.float32)),
+            # a shard with more than k_loc visible splats lost survivors
+            "_aux_vis_overflow": (
+                comp.num_visible > k_loc).astype(jnp.float32),
+        }
+        img, allmap = pb.blend_binned(
+            rec_c, tile_pos, counts, settings, bg, nbx, rows_per,
+            d * rows_per, False, interpret, aux)
+        aux_out = {k: lax.pmax(v, axis) for k, v in allmap.items()
+                   if k.startswith("_aux_")}
+        allmap = {k: v for k, v in allmap.items()
+                  if not k.startswith("_aux_")}
+        return img, allmap, aux_out, splats.radius, splats.mean2d
+
+    img, allmap, aux_out, radius, mean2d = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(),
+                  P(axis) if oc is not None else P(),
+                  P(axis) if ao is not None else P()),
+        out_specs=(P(axis), P(axis), P(), P(axis), P(axis)),
+        check_vma=False,
+    )(xyz, scaling, rotation, opacity, features, mean2d_offset, live,
+      bg_color, oc, ao)
+
+    img = img[:h, :w]
+    allmap = {k: v[:h, :w] for k, v in allmap.items()}
+    allmap.update(aux_out)
+    return img, allmap, radius, mean2d

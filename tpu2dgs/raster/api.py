@@ -63,6 +63,7 @@ def render(
     live: Optional[jnp.ndarray] = None,
     override_color: Optional[jnp.ndarray] = None,
     mesh=None,
+    shard_splats: bool = False,
     convert_shs_python: bool = False,
     compute_cov3d_python: bool = False,
     axes_override=None,
@@ -71,6 +72,11 @@ def render(
 
     With `mesh` (a jax.sharding.Mesh with a "rows" axis), the tiled backend
     shards image tile rows across devices (tpu2dgs/parallel/sharded.py).
+    With `shard_splats=True` (pallas backend + mesh), the splat parameter
+    arrays are ALSO sharded over the mesh — gaussian/model parallelism:
+    per-splat preprocessing and depth compaction run on 1/D of the splats
+    per device, visible survivors are all-gathered, and tile-row strips
+    blend as usual (parallel/sharded.rasterize_splat_sharded).
 
     `convert_shs_python` / `compute_cov3d_python` mirror the reference
     PipelineParams (gaussian_renderer/__init__.py:57-95): SH->RGB and the
@@ -96,6 +102,29 @@ def render(
         shs = jnp.swapaxes(features, -1, -2)
         override_color = jnp.maximum(
             sh_lib.eval_sh(settings.sh_degree, shs, dirs) + 0.5, 0.0)
+
+    if shard_splats and mesh is not None:
+        if settings.backend != "pallas":
+            raise ValueError("shard_splats requires the pallas backend")
+        from tpu2dgs.parallel.sharded import rasterize_splat_sharded
+
+        image, allmap, radius, mean2d = rasterize_splat_sharded(
+            cam, settings, xyz, scaling, rotation, opacity, features,
+            bg_color, mesh, mean2d_offset=mean2d_offset, live=live,
+            override_color=override_color, axes_override=axes_override)
+        aux = {k: allmap.pop(k) for k in list(allmap)
+               if k.startswith("_aux_")}
+
+        class _PerSplat:  # decode_outputs reads only radius/mean2d
+            pass
+
+        shim = _PerSplat()
+        shim.radius = radius
+        shim.mean2d = mean2d
+        out = decode_outputs(cam, settings, shim, image, allmap)
+        for k, v in aux.items():
+            out[k.removeprefix("_aux_")] = v
+        return out
 
     splats = pre.preprocess(
         xyz,

@@ -48,6 +48,8 @@ class Compacted(NamedTuple):
     x1: jnp.ndarray
     y0: jnp.ndarray
     y1: jnp.ndarray
+    depth: jnp.ndarray        # (K,) sorted view depth (+inf past visible) —
+                              # the cross-device merge key (parallel/sharded)
 
 
 def compact_visible(splats: SplatScreen, k: int) -> Compacted:
@@ -61,7 +63,7 @@ def compact_visible(splats: SplatScreen, k: int) -> Compacted:
     c = lax.stop_gradient(splats.filter_center)
     e = lax.stop_gradient(splats.half_extent)
     iota = jnp.arange(n, dtype=jnp.int32)
-    _, order, scx, scy, sex, sey = lax.sort(
+    sdepth, order, scx, scy, sex, sey = lax.sort(
         (depth, iota, c[:, 0], c[:, 1], e[:, 0], e[:, 1]), dimension=0,
         is_stable=True, num_keys=1)
     perm = order[:k].astype(jnp.int32)
@@ -76,7 +78,8 @@ def compact_visible(splats: SplatScreen, k: int) -> Compacted:
     x1 = jnp.where(valid, cx + ex, -1e9)
     y0 = jnp.where(valid, cy - ey, 1e9)
     y1 = jnp.where(valid, cy + ey, -1e9)
-    return Compacted(perm, valid, num_visible, x0, x1, y0, y1)
+    dep = jnp.where(valid, sdepth[:k], jnp.inf)
+    return Compacted(perm, valid, num_visible, x0, x1, y0, y1, dep)
 
 
 def searchsorted_rows(csum: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

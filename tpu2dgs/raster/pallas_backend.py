@@ -71,7 +71,8 @@ from tpu2dgs.raster.preprocess import SplatScreen
 
 REC = 24
 OUT_CH = 16
-BY = 16   # block pixel rows
+BY = 16   # block pixel rows (BY=8 retested after the SMEM-read fix:
+          # 12.4 vs 14.3 Mpix/s — fixed per-entry cost still dominates)
 BX = 128  # block pixel cols (one lane register row)
 CHUNK = 32  # splats per early-exit check
 
@@ -413,6 +414,10 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             # reductions factor: sum_y(px * d) = px_row * sum_y(d). The
             # same reduced rows serve components 0-2 and 6-8, saving three
             # (BY,BX) multiplies and three plane reductions per splat.
+            # The 16 sublane reductions below are 43% of this kernel
+            # (measured by ablation, ROADMAP.md): they are also the
+            # information-theoretic floor — 16 independent per-splat
+            # moments — so the only wins left here are scheduling ones.
             px_row = px[0:1, :]
             s_pu = jnp.sum(d_pu, axis=0, keepdims=True)
             s_pv = jnp.sum(d_pv, axis=0, keepdims=True)
@@ -619,14 +624,33 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     (comp, tile_pos, tile_valid, raw_counts, bin_counts) = _bin_rect(
         splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
         interpret=interpret)
+
+    rec = pack_records(splats)                  # (N, REC) differentiable
+    rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
+
+    aux = {
+        "_aux_bin_overflow_frac": jnp.mean(
+            (bin_counts > bin_cap).astype(jnp.float32)),
+        "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
+    }
+    return blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color,
+                        nbx, nty, tile_row0, full, interpret, aux)
+
+
+def blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color, nbx, nty,
+                 tile_row0, full, interpret, aux):
+    """Blend pre-binned, depth-ordered records into (image, allmap).
+
+    The shared tail of rasterize_pallas and the splat-sharded path
+    (parallel/sharded.py): rec_c (K, REC) depth-compacted records,
+    tile_pos (T, cap) compacted slots per tile, raw_counts (T,) total
+    overlaps. `aux` = extra _aux_* diagnostics merged into allmap."""
+    w, h = settings.width, settings.height
+    cap = tile_pos.shape[1]
     counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
     pad_cols = (-tile_pos.shape[1]) % CHUNK
     if pad_cols:
         tile_pos = jnp.pad(tile_pos, ((0, 0), (0, pad_cols)))
-        tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad_cols)))
-
-    rec = pack_records(splats)                  # (N, REC) differentiable
-    rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
 
     # Per-column capacity of the backward's packed gradient rows: the sum
     # of a column's tile counts, plus a chunk-alignment slack per tile.
@@ -660,13 +684,11 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         # fraction of tiles whose overlap set exceeded capacity (tail cut)
         "_aux_tile_overflow_frac": jnp.mean(
             (raw_counts > cap).astype(jnp.float32)),
-        "_aux_bin_overflow_frac": jnp.mean(
-            (bin_counts > bin_cap).astype(jnp.float32)),
-        "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
         # fraction of tile columns whose packed gradient rows exceeded
         # grad_pack_capacity (backward gradients corrupted in the tail)
         "_aux_grad_pack_overflow_frac": jnp.mean(
             (col_tail > pack_cap).astype(jnp.float32)),
+        **aux,
     }
     return image, allmap
 
@@ -677,12 +699,24 @@ def _round128(x: int) -> int:
 
 def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
               col_cap=32768, interpret=False):
+    """compact_visible + box binning (see _bin_boxes)."""
+    comp = binning.compact_visible(splats, k_vis)
+    n_vis = jnp.minimum(comp.num_visible, k_vis)
+    tile_pos, tile_valid, counts, bin_counts = _bin_boxes(
+        comp.x0, comp.x1, comp.y0, comp.y1, n_vis, nbx, nty, bin_cap, cap,
+        tile_row0, col_cap=col_cap, interpret=interpret)
+    return (comp, tile_pos, tile_valid, counts, bin_counts)
+
+
+def _bin_boxes(x0, x1, y0, y1, n_vis, nbx, nty, bin_cap, cap, tile_row0,
+               col_cap=32768, interpret=False):
     """Three-level kernel binning: columns -> coarse bins -> fine tiles.
 
-    Every level is one call of the Pallas stream-compaction kernel
-    (select_kernel.select_rows); XLA only gathers candidate boxes between
-    levels. Positional order in the depth-compacted space makes every
-    list front-to-back sorted and deterministic.
+    x0..y1: (K,) screen AABBs in DEPTH-ASCENDING order (never-hit boxes
+    past n_vis). Every level is one call of the Pallas stream-compaction
+    kernel; XLA only gathers candidate boxes between levels. Positional
+    order in the depth-compacted space makes every list front-to-back
+    sorted and deterministic.
 
       L1: screen columns (one BX-wide tile column each) select from the
           global compacted array — the only level that walks all K splats,
@@ -695,8 +729,7 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     nby_c = -(-nty // cby)
     f32 = jnp.float32
 
-    comp = binning.compact_visible(splats, k_vis)
-    kp = _round128(k_vis)
+    kp = _round128(x0.shape[0])
 
     col_cap = _round128(min(col_cap, kp))
     bin_capk = _round128(min(bin_cap, col_cap))
@@ -706,14 +739,13 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     # global compacted-slot index carried as an f32 value (exact: slots
     # < 2^24) — so levels chain with ZERO XLA gathers between them
     # (element gathers at these shapes measured ~10-50x the kernel cost).
-    g0 = jnp.arange(comp.x0.shape[0], dtype=f32)[None, :]
-    gchan = (comp.x0[None], comp.x1[None], comp.y0[None], comp.y1[None], g0)
+    g0 = jnp.arange(x0.shape[0], dtype=f32)[None, :]
+    gchan = (x0[None], x1[None], y0[None], y1[None], g0)
 
     # L1: columns over the strip's full y range.
     y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
     y_hi = y_lo + (nty * BY - 1)
     cix = jnp.arange(nbx, dtype=f32)
-    n_vis = jnp.minimum(comp.num_visible, k_vis)
     cchan, col_cnt = select_kernel.select_values(
         (cix * BX, cix * BX + (BX - 1), y_lo, y_hi),
         gchan, jnp.zeros((nbx,), jnp.int32), col_cap,
@@ -758,4 +790,4 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
     tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
     tile_pos = jnp.where(tile_valid, tile_pos, 0)
-    return (comp, tile_pos, tile_valid, counts, bin_counts)
+    return (tile_pos, tile_valid, counts, bin_counts)

@@ -69,13 +69,16 @@ def make_train_step(
     spatial_lr_scale: float,
     mesh=None,
     camera_batch: int = 1,
+    shard_splats: bool = False,
 ) -> Callable:
     """Returns jitted step(model, adam, cam, gt, bg, step, lam_normal,
     lam_dist) -> (model, adam, metrics).
 
     With `mesh`, rasterization is tile-row sharded across the mesh's "rows"
     axis and splat-parameter gradients are psum'd by the shard_map transpose
-    (tpu2dgs/parallel/sharded.py).
+    (tpu2dgs/parallel/sharded.py). `shard_splats=True` additionally shards
+    the splat parameter arrays over the same axis (gaussian parallelism —
+    1/D params + per-splat work per device, survivors all-gathered).
 
     With `camera_batch` > 1, `cam` leaves and `gt` carry a leading batch dim
     and the loss is the mean over views (the reference is strictly one
@@ -99,6 +102,7 @@ def make_train_step(
             mean2d_offset=offset,
             live=live,
             mesh=mesh,
+            shard_splats=shard_splats,
         )
         photo, ll1 = losses.photometric_loss(out["render"], gt, lambda_dssim)
         ln = losses.normal_consistency_loss(
@@ -197,6 +201,7 @@ class Trainer:
         log_fn: Optional[Callable[[int, dict], None]] = None,
         max_capacity: int = 4_194_304,
         mesh=None,
+        shard_splats: bool = False,
     ):
         self.model = model
         self.max_capacity = max_capacity
@@ -216,7 +221,10 @@ class Trainer:
         self.log_fn = log_fn
         # Multi-chip: a jax.sharding.Mesh with a "rows" axis shards image
         # tile rows across devices and psums splat grads (parallel/sharded).
+        # shard_splats additionally shards the parameter arrays over the
+        # same axis (gaussian parallelism; pallas backend only).
         self.mesh = mesh
+        self.shard_splats = shard_splats
         self.step = 0
         self.ema_loss = 0.0
         self._cam_stack: list[int] = []
@@ -260,6 +268,7 @@ class Trainer:
                 self._settings(), self.opt_cfg, self.cfg.lambda_dssim,
                 self.spatial_lr_scale, mesh=self.mesh,
                 camera_batch=self.cfg.camera_batch,
+                shard_splats=self.shard_splats,
             )
         return self._step_fns[key]
 
