@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
         "tile rows are split across a jax.sharding.Mesh and splat "
         "gradients are psum'd (tpu2dgs/parallel/sharded.py)")
     parser.add_argument(
+        "--profile_dir", type=str, default="",
+        help="capture a jax.profiler trace of training steps 100-110 into "
+        "this directory (view with tensorboard/xprof)")
+    parser.add_argument(
         "--shard_mode", choices=("rows", "splats"), default="rows",
         help="multi-device mode: 'rows' = tile-row sharding with "
         "replicated splats; 'splats' = gaussian parallelism (1/D params "
@@ -155,6 +159,8 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
                 "train_loss_patches/normal_loss": metrics["normal"],
                 "train_loss_patches/dist_loss": metrics["dist"],
                 "num_visible": metrics["num_visible"],
+                **({"perf/mpix_per_s": metrics["mpix_per_s"]}
+                   if "mpix_per_s" in metrics else {}),
             })
 
     mesh = None
@@ -175,6 +181,7 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         max_sh_degree=model_p.sh_degree, seed=args.seed,
         log_fn=log_fn, max_capacity=args.max_capacity, mesh=mesh,
         shard_splats=(args.shard_mode == "splats" and mesh is not None),
+        profile_dir=args.profile_dir or None,
     )
     if not args.disable_viewer:
         from tpu2dgs.viewer.network_gui import NetworkGUI

@@ -17,6 +17,7 @@ allclose against the oracle.
 from __future__ import annotations
 
 import dataclasses
+import types
 from typing import Optional
 
 import jax.numpy as jnp
@@ -114,13 +115,8 @@ def render(
             override_color=override_color, axes_override=axes_override)
         aux = {k: allmap.pop(k) for k in list(allmap)
                if k.startswith("_aux_")}
-
-        class _PerSplat:  # decode_outputs reads only radius/mean2d
-            pass
-
-        shim = _PerSplat()
-        shim.radius = radius
-        shim.mean2d = mean2d
+        # decode_outputs reads only .radius / .mean2d of its splats arg
+        shim = types.SimpleNamespace(radius=radius, mean2d=mean2d)
         out = decode_outputs(cam, settings, shim, image, allmap)
         for k, v in aux.items():
             out[k.removeprefix("_aux_")] = v

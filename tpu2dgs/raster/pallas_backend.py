@@ -405,10 +405,11 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
                 # dynamic mid-dim sublane store would not lower). Rolled
                 # (interpret): traced k via pl.ds.
                 f = k * REC + comp
+                nr = row.shape[0]
                 if unroll:
-                    scratch[f // 128, (f % 128):(f % 128) + 1, :] = row
+                    scratch[f // 128, (f % 128):(f % 128) + nr, :] = row
                 else:
-                    scratch[f // 128, pl.ds(f % 128, 1), :] = row
+                    scratch[f // 128, pl.ds(f % 128, nr), :] = row
 
             # px is constant along sublanes, so the px-weighted sublane
             # reductions factor: sum_y(px * d) = px_row * sum_y(d). The
@@ -422,12 +423,8 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             s_pu = jnp.sum(d_pu, axis=0, keepdims=True)
             s_pv = jnp.sum(d_pv, axis=0, keepdims=True)
             s_pw = jnp.sum(d_pw, axis=0, keepdims=True)
-            put(0, px_row * s_pu)
-            put(1, px_row * s_pv)
-            put(2, px_row * s_pw)
-            put(6, s_pu)
-            put(7, s_pv)
-            put(8, s_pw)
+            rows = {0: px_row * s_pu, 1: px_row * s_pv, 2: px_row * s_pw,
+                    6: s_pu, 7: s_pv, 8: s_pw}
             partials = [
                 py * d_pu, py * d_pv, py * d_pw,
                 su * d_d_g, sv * d_d_g, d_d_g,
@@ -437,12 +434,16 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             ]
             comps = [3, 4, 5, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18]
             for comp, plane in zip(comps, partials):
-                put(comp, jnp.sum(plane, axis=0, keepdims=True))
+                rows[comp] = jnp.sum(plane, axis=0, keepdims=True)
             # Compacted-slot target rides in channel 21 (lane 0 only, so
             # the chunk's lane reduction recovers it exactly); zero past
             # `count` so stray rows scatter zeros to slot 0.
             sl = jnp.where(jj < count, rec_ref[0, 0, jj * REC + 21], 0.0)
-            put(21, lane0 * sl)
+            rows[21] = lane0 * sl
+            # (Paired (2,BX) stores measured even with singles — the
+            # sublane concatenate costs what the saved store gains.)
+            for c, row in rows.items():
+                put(c, row)
 
             return (t_before, acc_w, s_w, s_wm, acc_a, med_done, s_wm2)
 

@@ -202,6 +202,8 @@ class Trainer:
         max_capacity: int = 4_194_304,
         mesh=None,
         shard_splats: bool = False,
+        profile_dir: str | None = None,
+        profile_steps: tuple[int, int] = (100, 110),
     ):
         self.model = model
         self.max_capacity = max_capacity
@@ -225,6 +227,12 @@ class Trainer:
         # same axis (gaussian parallelism; pallas backend only).
         self.mesh = mesh
         self.shard_splats = shard_splats
+        # §5 observability: jax.profiler trace of steps [a, b) when set
+        # (view with tensorboard/xprof), and a rolling Mpix/s counter —
+        # the BASELINE.md north-star metric — emitted by training itself.
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self.mpix_s = 0.0
         self.step = 0
         self.ema_loss = 0.0
         self._cam_stack: list[int] = []
@@ -286,10 +294,17 @@ class Trainer:
     def train(self, num_iters: Optional[int] = None, progress: bool = False):
         end = self.step + (num_iters or self.cfg.iterations)
         t0 = time.perf_counter()
+        t_win, it_win = t0, self.step  # rolling Mpix/s window
         while self.step < end:
             self.step += 1
             it = self.step
             cfg = self.cfg
+
+            if self.profile_dir is not None:
+                if it == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
+                elif it == self.profile_steps[1]:
+                    jax.profiler.stop_trace()
 
             # SH degree warmup: one level every 1000 iters (train.py:60-62).
             if (
@@ -354,6 +369,16 @@ class Trainer:
                         self.model, self.adam
                     )
 
+            if it % 50 == 0:
+                # rolling Mpix/s (rasterized pixels/s): the BASELINE.md
+                # north-star metric, emitted by training itself (§5)
+                now = time.perf_counter()
+                px = (it - it_win) * self.width * self.height * \
+                    cfg.camera_batch
+                self.mpix_s = px / max(now - t_win, 1e-9) / 1e6
+                t_win, it_win = now, it
+                metrics = dict(metrics)
+                metrics["mpix_per_s"] = self.mpix_s
             if self.log_fn is not None:
                 self.log_fn(it, metrics)
             loss_val = float(metrics["loss"])
@@ -365,7 +390,7 @@ class Trainer:
                 print(
                     f"[{it}] loss={self.ema_loss:.4f} "
                     f"live={int(self.model.num_live())} "
-                    f"({it / dt:.1f} it/s)",
+                    f"({it / dt:.1f} it/s, {self.mpix_s:.2f} Mpix/s)",
                     flush=True,
                 )
         return self.model
