@@ -55,6 +55,7 @@ def main():
         opacity_reset_interval=10 ** 9,
         normal_from_iter=0, dist_from_iter=0,
         lambda_normal=0.05, lambda_dist=100.0,
+        loss_sync_interval=50,
     )
     tr = Trainer(
         model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,

@@ -60,6 +60,10 @@ class TrainConfig:
     random_background: bool = False
     grow_watermark: float = 0.9   # grow capacity when live/capacity exceeds
     camera_batch: int = 1         # views per step (batched SGD; TPU-native)
+    loss_sync_interval: int = 10  # host-sync the loss every N steps: a
+                                  # per-step float() readback serializes
+                                  # the async dispatch pipeline (tens of ms
+                                  # through a TPU tunnel)
 
 
 def make_train_step(
@@ -113,6 +117,9 @@ def make_train_step(
             out.get("tile_overflow_frac", jnp.float32(0.0)))
         return total, (out["radii"], ll1, ln, ld, overflow)
 
+    # NOTE: donate_argnums=(0, 1) for the dead model/adam buffers makes the
+    # remote-TPU (axon) backend fail readbacks with InvalidArgument;
+    # donation is left off until run on directly-attached chips.
     @jax.jit
     def step_fn(model, adam, cam, gt, bg, step, lam_normal, lam_dist):
         p = model.params
@@ -381,8 +388,12 @@ class Trainer:
                 metrics["mpix_per_s"] = self.mpix_s
             if self.log_fn is not None:
                 self.log_fn(it, metrics)
-            loss_val = float(metrics["loss"])
-            self.ema_loss = 0.4 * loss_val + 0.6 * self.ema_loss
+            # The loss EMA is display/GUI-only; sync it periodically so the
+            # host never blocks the device's async dispatch queue per step.
+            if (it % cfg.loss_sync_interval == 0 or it == end
+                    or self.gui is not None):
+                loss_val = float(metrics["loss"])
+                self.ema_loss = 0.4 * loss_val + 0.6 * self.ema_loss
             if self.gui is not None:
                 self._poll_gui(it, end)
             if progress and it % 200 == 0:
