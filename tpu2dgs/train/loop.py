@@ -90,6 +90,11 @@ def make_train_step(
     the chip — gradients are averaged, densification stats accumulate the
     batch-mean screen gradient per splat)."""
 
+    if shard_splats and camera_batch > 1:
+        raise ValueError(
+            "shard_splats with camera_batch > 1 (vmap over shard_map) is "
+            "not supported yet; use camera_batch=1 or shard_mode=rows")
+
     half = jnp.array(
         [settings.width * 0.5, settings.height * 0.5], jnp.float32
     )
