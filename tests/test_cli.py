@@ -256,3 +256,30 @@ def test_checkpoint_resume_continues(tmp_path):
     assert np.isfinite(t2.ema_loss)
     for leaf in t2.model.params:
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_colmap_cli_train_pipeline(tmp_path):
+    """COLMAP-format dataset through the real CLI: detection, binary
+    parsing, llffhold eval split, training, and model-dir outputs (the
+    Blender path is covered by test_train_render_metrics_pipeline)."""
+    from tests.test_data import _make_colmap_dataset
+    from tpu2dgs.cli import train as cli_train
+
+    root = str(tmp_path / "colmap_scene")
+    os.makedirs(root)
+    _make_colmap_dataset(root, n_views=6, n_pts=40)
+
+    out = str(tmp_path / "out")
+    cli_train.main([
+        "-s", root, "-m", out, "--eval", "--iterations", "8",
+        "--save_iterations", "8", "--test_iterations", "8",
+        "--densify_from_iter", "1000", "--resolution", "1",
+        "--bin_capacity", "64", "--tile_capacity", "64", "--quiet",
+        "--max_capacity", "131072",
+    ])
+    assert os.path.exists(
+        os.path.join(out, "point_cloud", "iteration_8", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+    assert os.path.exists(os.path.join(out, "input.ply"))
+    with open(os.path.join(out, "cfg_args")) as f:
+        assert "sh_degree" in f.read()
