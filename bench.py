@@ -48,6 +48,7 @@ def build():
         # ~1.5ms slower on the scatter.
         grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 24576)),
         vis_capacity=int(os.environ.get("BENCH_VIS_CAP", 0)),
+        col_capacity=int(os.environ.get("BENCH_COL_CAP", 32768)),
     )
     cam = cameras.Camera(
         uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
@@ -81,6 +82,57 @@ def build():
     return step, scene, w * h
 
 
+def fidelity_check():
+    """PSNR of the bench-config render vs a zero-overflow 'exact' config.
+
+    The bench scene is a worst-case depth pileup (128K splats in a narrow
+    frustum; hot tiles overlap ~5K splats). The bench settings bound
+    per-tile/per-column lists (the framework's documented
+    capacity-bounded semantics, all overflow aux-counted); this measures
+    what that truncation costs in image terms so the headline number
+    can't silently trade fidelity for speed."""
+    import numpy as np2
+
+    import tpu2dgs
+    from tpu2dgs.core import cameras
+    from tpu2dgs.raster.api import RasterSettings, render
+    from tpu2dgs.train import losses
+
+    w = h = 800
+    n = 1 << 17
+    cam = cameras.Camera(
+        uid=0, image_name="bench", R=np2.eye(3), T=np2.zeros(3),
+        fovx=np2.pi / 2, fovy=np2.pi / 2, width=w, height=h,
+    ).arrays()
+    rng = np2.random.default_rng(0)
+    xyz = rng.uniform(-1.0, 1.0, (n, 3)) * [1, 1, 0.5] + [0, 0, 2.5]
+    scene = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (
+            xyz,
+            np2.exp(rng.uniform(-5.0, -3.5, (n, 2))),
+            rng.normal(size=(n, 4)),
+            rng.uniform(0.2, 0.95, (n,)),
+            rng.normal(size=(n, 16, 3)) * 0.3,
+        )
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    s_def = RasterSettings(
+        width=w, height=h, sh_degree=3, backend="pallas",
+        bin_capacity=8192, tile_capacity=2048)
+    # zero-overflow settings for this scene (verified: all overflow
+    # fractions 0; tile cap 5120 is the SMEM window ceiling)
+    s_exact = RasterSettings(
+        width=w, height=h, sh_degree=3, backend="pallas",
+        bin_capacity=16384, tile_capacity=5120, col_capacity=65536,
+        grad_pack_capacity=32768)
+    o1 = render(cam, s_def, *scene, bg)
+    o2 = render(cam, s_exact, *scene, bg)
+    psnr = float(losses.psnr(jnp.clip(o1["render"], 0, 1),
+                             jnp.clip(o2["render"], 0, 1)))
+    return round(psnr, 2)
+
+
 def main():
     step, scene, pixels = build()
     grads = step(*scene)
@@ -94,12 +146,17 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = pixels / dt / 1e6
-    print(json.dumps({
+    out = {
         "metric": "rasterize_fwd_bwd_throughput",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
-    }))
+    }
+    if not int(os.environ.get("BENCH_SKIP_FIDELITY", "0")):
+        # PSNR of the bench config vs an uncapped-equivalent render: the
+        # capacity-bounded semantics must stay visually transparent.
+        out["capacity_trunc_psnr_db"] = fidelity_check()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

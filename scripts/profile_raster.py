@@ -96,7 +96,7 @@ def main():
 
     if "binning" in stages:
         chain_timed("binning (compact + 3 selects)", lambda s: jnp.sum(
-            pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n)[6]), (splats,))
+            pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n)[3]), (splats,))
 
     binned = jax.jit(
         lambda s: pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n))(splats)

@@ -196,13 +196,16 @@ def rasterize_splat_sharded(
         rec_c = rec_g[sslot]                           # global depth order
 
         n_vis = lax.psum(jnp.minimum(comp.num_visible, k_loc), axis)
-        tile_pos, tile_valid, counts, bin_counts = pb._bin_boxes(
+        col_cap = getattr(settings, "col_capacity", 32768)
+        tile_pos, tile_valid, counts, bin_counts, col_counts = pb._bin_boxes(
             sx0, sx1, sy0, sy1, n_vis, nbx, rows_per, bin_cap, cap,
-            d * rows_per, interpret=interpret)
+            d * rows_per, col_cap=col_cap, interpret=interpret)
 
         aux = {
             "_aux_bin_overflow_frac": jnp.mean(
                 (bin_counts > bin_cap).astype(jnp.float32)),
+            "_aux_col_overflow_frac": jnp.mean(
+                (col_counts > col_cap).astype(jnp.float32)),
             # a shard with more than k_loc visible splats lost survivors
             "_aux_vis_overflow": (
                 comp.num_visible > k_loc).astype(jnp.float32),

@@ -42,6 +42,10 @@ class RasterSettings:
     coarse_tiles: int = 4        # fine tiles per coarse bin edge
     bin_capacity: int = 4096     # max splats per coarse bin
     tile_capacity: int = 1024    # max splats per fine tile
+    col_capacity: int = 32768    # pallas binning L1: max splats per
+                                 # BX-wide screen column (overflow drops
+                                 # the DEEPEST candidates; watch
+                                 # col_overflow_frac in the out dict)
     vis_capacity: int = 0        # depth-compaction prefix size (0 = all N);
                                  # binning runs over the front-most K visible
     grad_pack_capacity: int = 0  # pallas backward: packed gradient rows per

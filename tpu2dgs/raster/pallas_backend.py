@@ -622,9 +622,11 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
     k_vis = min(settings.vis_capacity or n, n)
 
-    (comp, tile_pos, tile_valid, raw_counts, bin_counts) = _bin_rect(
+    col_cap = getattr(settings, "col_capacity", 32768)
+    (comp, tile_pos, tile_valid, raw_counts, bin_counts,
+     col_counts) = _bin_rect(
         splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
-        interpret=interpret)
+        col_cap=col_cap, interpret=interpret)
 
     rec = pack_records(splats)                  # (N, REC) differentiable
     rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
@@ -632,6 +634,8 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     aux = {
         "_aux_bin_overflow_frac": jnp.mean(
             (bin_counts > bin_cap).astype(jnp.float32)),
+        "_aux_col_overflow_frac": jnp.mean(
+            (col_counts > col_cap).astype(jnp.float32)),
         "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
     }
     return blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color,
@@ -703,10 +707,10 @@ def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
     """compact_visible + box binning (see _bin_boxes)."""
     comp = binning.compact_visible(splats, k_vis)
     n_vis = jnp.minimum(comp.num_visible, k_vis)
-    tile_pos, tile_valid, counts, bin_counts = _bin_boxes(
+    tile_pos, tile_valid, counts, bin_counts, col_counts = _bin_boxes(
         comp.x0, comp.x1, comp.y0, comp.y1, n_vis, nbx, nty, bin_cap, cap,
         tile_row0, col_cap=col_cap, interpret=interpret)
-    return (comp, tile_pos, tile_valid, counts, bin_counts)
+    return (comp, tile_pos, tile_valid, counts, bin_counts, col_counts)
 
 
 def _bin_boxes(x0, x1, y0, y1, n_vis, nbx, nty, bin_cap, cap, tile_row0,
@@ -791,4 +795,4 @@ def _bin_boxes(x0, x1, y0, y1, n_vis, nbx, nty, bin_cap, cap, tile_row0,
     tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
     tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
     tile_pos = jnp.where(tile_valid, tile_pos, 0)
-    return (tile_pos, tile_valid, counts, bin_counts)
+    return (tile_pos, tile_valid, counts, bin_counts, col_cnt)
