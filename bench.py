@@ -26,7 +26,7 @@ BASELINE_MPIX_S = 16.0
 
 def build():
     import tpu2dgs
-    from tpu2dgs.core import cameras
+    from tpu2dgs.eval.synthetic import make_bench_scene
     from tpu2dgs.raster.api import RasterSettings, render
     from tpu2dgs.train import losses
 
@@ -50,23 +50,7 @@ def build():
         vis_capacity=int(os.environ.get("BENCH_VIS_CAP", 0)),
         col_capacity=int(os.environ.get("BENCH_COL_CAP", 32768)),
     )
-    cam = cameras.Camera(
-        uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
-        fovx=np.pi / 2, fovy=np.pi / 2, width=w, height=h,
-    ).arrays()
-
-    rng = np.random.default_rng(0)
-    xyz = rng.uniform(-1.0, 1.0, (n, 3)) * [1, 1, 0.5] + [0, 0, 2.5]
-    scene = tuple(
-        jnp.asarray(a, jnp.float32)
-        for a in (
-            xyz,
-            np.exp(rng.uniform(-5.0, -3.5, (n, 2))),
-            rng.normal(size=(n, 4)),
-            rng.uniform(0.2, 0.95, (n,)),
-            rng.normal(size=(n, 16, 3)) * 0.3,
-        )
-    )
+    cam, scene = make_bench_scene(w, h, n)
     gt = jnp.zeros((3, h, w), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
 
@@ -91,31 +75,12 @@ def fidelity_check():
     capacity-bounded semantics, all overflow aux-counted); this measures
     what that truncation costs in image terms so the headline number
     can't silently trade fidelity for speed."""
-    import numpy as np2
-
-    import tpu2dgs
-    from tpu2dgs.core import cameras
+    from tpu2dgs.eval.synthetic import make_bench_scene
     from tpu2dgs.raster.api import RasterSettings, render
     from tpu2dgs.train import losses
 
     w = h = 800
-    n = 1 << 17
-    cam = cameras.Camera(
-        uid=0, image_name="bench", R=np2.eye(3), T=np2.zeros(3),
-        fovx=np2.pi / 2, fovy=np2.pi / 2, width=w, height=h,
-    ).arrays()
-    rng = np2.random.default_rng(0)
-    xyz = rng.uniform(-1.0, 1.0, (n, 3)) * [1, 1, 0.5] + [0, 0, 2.5]
-    scene = tuple(
-        jnp.asarray(a, jnp.float32)
-        for a in (
-            xyz,
-            np2.exp(rng.uniform(-5.0, -3.5, (n, 2))),
-            rng.normal(size=(n, 4)),
-            rng.uniform(0.2, 0.95, (n,)),
-            rng.normal(size=(n, 16, 3)) * 0.3,
-        )
-    )
+    cam, scene = make_bench_scene(w, h, 1 << 17)
     bg = jnp.zeros(3, jnp.float32)
     s_def = RasterSettings(
         width=w, height=h, sh_degree=3, backend="pallas",

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 import numpy as np
 
@@ -95,14 +94,12 @@ def main(argv=None):
     tau = args.tau
     stages = ((tau, tau * 80), (tau / 2.0, tau * 20), (None, 2 * tau))
     pts = data_pts
-    T = np.eye(4)
     for voxel, max_corr in stages:
         src = downsample_points(pts, voxel) if voxel else pts
         tgt = downsample_points(gt_pts, voxel) if voxel else gt_pts
         step = align_icp(src, tgt, iters=20, max_corr=max_corr,
                          with_scale=True)
         pts = pts @ step[:3, :3].T + step[:3, 3]
-        T = step @ T
 
     # 4. F-score at tau on dTau/2-downsampled clouds (EvaluateHisto).
     d_down = downsample_points(pts, tau / 2.0)

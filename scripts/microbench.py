@@ -12,10 +12,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import tpu2dgs  # noqa: E402
-from tpu2dgs.core import cameras  # noqa: E402
 from tpu2dgs.raster import pallas_backend as pb  # noqa: E402
 from tpu2dgs.raster import preprocess as pre  # noqa: E402
 from profile_raster import chain_timed  # noqa: E402
@@ -30,22 +30,8 @@ def main():
 
     w = h = 800
     n = 1 << 17
-    cam = cameras.Camera(
-        uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
-        fovx=np.pi / 2, fovy=np.pi / 2, width=w, height=h,
-    ).arrays()
-    rng = np.random.default_rng(0)
-    xyz = rng.uniform(-1.0, 1.0, (n, 3)) * [1, 1, 0.5] + [0, 0, 2.5]
-    scene = tuple(
-        jnp.asarray(a, jnp.float32)
-        for a in (
-            xyz,
-            np.exp(rng.uniform(-5.0, -3.5, (n, 2))),
-            rng.normal(size=(n, 4)),
-            rng.uniform(0.2, 0.95, (n,)),
-            rng.normal(size=(n, 16, 3)) * 0.3,
-        )
-    )
+    from tpu2dgs.eval.synthetic import make_bench_scene
+    cam, scene = make_bench_scene(w, h, n)
 
     def do_pre(xyz, scaling, rotation, opacity, features):
         return pre.preprocess(

@@ -15,14 +15,11 @@ overlapping or CSE-ing iterations.
 import sys
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 import tpu2dgs
-from tpu2dgs.core import cameras
-from tpu2dgs.raster import binning
 from tpu2dgs.raster import pallas_backend as pb
 from tpu2dgs.raster import preprocess as pre
 from tpu2dgs.raster.api import RasterSettings, render
@@ -61,22 +58,8 @@ def main():
         width=w, height=h, sh_degree=3, backend="pallas",
         bin_capacity=8192, tile_capacity=2048,
     )
-    cam = cameras.Camera(
-        uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
-        fovx=np.pi / 2, fovy=np.pi / 2, width=w, height=h,
-    ).arrays()
-    rng = np.random.default_rng(0)
-    xyz = rng.uniform(-1.0, 1.0, (n, 3)) * [1, 1, 0.5] + [0, 0, 2.5]
-    scene = tuple(
-        jnp.asarray(a, jnp.float32)
-        for a in (
-            xyz,
-            np.exp(rng.uniform(-5.0, -3.5, (n, 2))),
-            rng.normal(size=(n, 4)),
-            rng.uniform(0.2, 0.95, (n,)),
-            rng.normal(size=(n, 16, 3)) * 0.3,
-        )
-    )
+    from tpu2dgs.eval.synthetic import make_bench_scene
+    cam, scene = make_bench_scene(w, h, n)
     bg = jnp.zeros(3, jnp.float32)
     gt = jnp.zeros((3, h, w), jnp.float32)
 

@@ -14,7 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from tests.test_tiled import _cam, _random_scene, _settings, KEYS  # noqa
 from tpu2dgs.raster.api import render  # noqa: E402

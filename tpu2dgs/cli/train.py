@@ -97,9 +97,12 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         white_background=model_p.white_background,
         eval_split=model_p.eval, seed=args.seed,
     )
-    # Fresh training: persist input.ply + cameras.json into the model dir
-    # (reference scene/__init__.py:50-62; read by ecosystem viewers).
-    scene.save_model_info(model_p.model_path)
+    # Fresh training only: persist input.ply + cameras.json into the model
+    # dir (reference scene/__init__.py guards with `if not loaded_iter`;
+    # a resume must not clobber the original run's files with this
+    # invocation's re-shuffled camera ordering).
+    if not args.start_checkpoint:
+        scene.save_model_info(model_p.model_path)
     cam0 = scene.train_cameras[0]
     w, h = cam0.width, cam0.height
     print(f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} test "

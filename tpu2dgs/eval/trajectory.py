@@ -117,10 +117,14 @@ def ransac_correspondences(src: np.ndarray, dst: np.ndarray,
     rng = np.random.default_rng(seed)
     best_inliers: Optional[np.ndarray] = None
     best_count = -1
-    # correspondence RANSAC converges in far fewer trials than the o3d
-    # criteria cap; iterate enough for small inlier ratios.
-    trials = min(max_iteration, 4096)
-    for _ in range(trials):
+    # Honor the full trial budget (the reference's o3d criteria run 100K
+    # trials, registration.py:96) with an adaptive early stop: once the
+    # best inlier ratio makes a better all-inlier sample overwhelmingly
+    # unlikely, further trials are wasted.
+    need = float(max_iteration)
+    for trial in range(max_iteration):
+        if trial >= need:
+            break
         idx = rng.choice(n, n_sample, replace=False)
         t = umeyama(src[idx], dst[idx], with_scale)
         res = src @ (t[:3, :3]).T + t[:3, 3] - dst
@@ -131,6 +135,10 @@ def ransac_correspondences(src: np.ndarray, dst: np.ndarray,
             best_inliers = inl
             if c == n:
                 break
+            # trials for 99.9% odds of one all-inlier sample at this ratio
+            p_good = (c / n) ** n_sample
+            if p_good > 1e-12:  # log1p stays accurate; else keep budget
+                need = np.log(1e-3) / np.log1p(-min(p_good, 1.0 - 1e-12))
     if best_inliers is None or best_count < n_sample:
         return umeyama(src, dst, with_scale)
     return umeyama(src[best_inliers], dst[best_inliers], with_scale)

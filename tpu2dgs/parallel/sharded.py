@@ -196,7 +196,7 @@ def rasterize_splat_sharded(
         rec_c = rec_g[sslot]                           # global depth order
 
         n_vis = lax.psum(jnp.minimum(comp.num_visible, k_loc), axis)
-        col_cap = getattr(settings, "col_capacity", 32768)
+        col_cap = settings.col_capacity
         tile_pos, tile_valid, counts, bin_counts, col_counts = pb._bin_boxes(
             sx0, sx1, sy0, sy1, n_vis, nbx, rows_per, bin_cap, cap,
             d * rows_per, col_cap=col_cap, interpret=interpret)

@@ -145,7 +145,7 @@ def _read_rec(rec_ref, jj):
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
-                n_chunks: int, unroll: bool):
+                unroll: bool):
     # Grid is COLUMN-major (tile i -> column i//nty, row i%nty) so that the
     # backward kernel's per-column gradient accumulator block stays
     # resident across all of a column's tiles.
@@ -247,7 +247,7 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
 
 
 def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
-                dpack_ref, scratch, *, nty: int, n_chunks: int,
+                dpack_ref, scratch, *, nty: int,
                 pack_cap: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
     accumulators, emitting COLUMN-PACKED gradient rows.
@@ -484,7 +484,6 @@ class PallasMaps(NamedTuple):
 
 def _blend_call(rec3, counts, row0, *, nty, interpret):
     t, c, _ = rec3.shape
-    n_chunks = -(-c // CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
@@ -501,7 +500,7 @@ def _blend_call(rec3, counts, row0, *, nty, interpret):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nty=nty, n_chunks=n_chunks,
+        functools.partial(_fwd_kernel, nty=nty,
                           unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
@@ -522,7 +521,6 @@ def _column_offsets(counts, nbx, nty):
 def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, pack_cap,
                     interpret):
     t, c, _ = rec3.shape
-    n_chunks = -(-c // CHUNK)
     nbx = t // nty
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -548,7 +546,7 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, pack_cap,
             pltpu.VMEM((CHUNK * REC // 128, 128, BX), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nty=nty, n_chunks=n_chunks,
+        functools.partial(_bwd_kernel, nty=nty,
                           pack_cap=pack_cap, unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -622,7 +620,7 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
     k_vis = min(settings.vis_capacity or n, n)
 
-    col_cap = getattr(settings, "col_capacity", 32768)
+    col_cap = settings.col_capacity
     (comp, tile_pos, tile_valid, raw_counts, bin_counts,
      col_counts) = _bin_rect(
         splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
@@ -659,9 +657,14 @@ def blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color, nbx, nty,
 
     # Per-column capacity of the backward's packed gradient rows: the sum
     # of a column's tile counts, plus a chunk-alignment slack per tile.
-    pack_cap = getattr(settings, "grad_pack_capacity", 0) or (
+    # The upper clamp uses the true worst case — nty tiles of CHUNK-ALIGNED
+    # cap — so an explicitly adequate grad_pack_capacity is never reduced
+    # below it (clamping to nty*cap under-counted the alignment slack and
+    # could overwrite gradient rows when every tile ran full).
+    cap_al = -(-cap // CHUNK) * CHUNK
+    pack_cap = settings.grad_pack_capacity or (
         16 * _round128(max(cap, 128)))
-    pack_cap = min(_round128(pack_cap), _round128(nty * cap))
+    pack_cap = min(_round128(pack_cap), _round128(nty * cap_al))
 
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
     out = blend_tiles(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,

@@ -114,7 +114,7 @@ def rasterize_rows(
 
     bin_cap = min(settings.bin_capacity, _pow2_at_least(n))
     tile_cap = min(settings.tile_capacity, bin_cap)
-    k_vis = min(getattr(settings, "vis_capacity", 0) or n, n)
+    k_vis = min(settings.vis_capacity or n, n)
 
     comp, tile_ids, tile_valid, counts, bin_counts = bin_square(
         splats, settings, nty_local, tile_row_offset, bin_cap, tile_cap,

@@ -244,6 +244,7 @@ class Trainer:
         # the BASELINE.md north-star metric — emitted by training itself.
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        self._tracing = False
         self.mpix_s = 0.0
         self.step = 0
         self.ema_loss = 0.0
@@ -315,8 +316,10 @@ class Trainer:
             if self.profile_dir is not None:
                 if it == self.profile_steps[0]:
                     jax.profiler.start_trace(self.profile_dir)
-                elif it == self.profile_steps[1]:
+                    self._tracing = True
+                elif it == self.profile_steps[1] and self._tracing:
                     jax.profiler.stop_trace()
+                    self._tracing = False
 
             # SH degree warmup: one level every 1000 iters (train.py:60-62).
             if (
@@ -409,6 +412,9 @@ class Trainer:
                     f"({it / dt:.1f} it/s, {self.mpix_s:.2f} Mpix/s)",
                     flush=True,
                 )
+        if self._tracing:  # training ended inside the profile window
+            jax.profiler.stop_trace()
+            self._tracing = False
         return self.model
 
     def _poll_gui(self, it: int, end: int) -> None:
