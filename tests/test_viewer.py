@@ -178,3 +178,89 @@ def test_gui_polling_during_training():
     assert results["metrics"]["#"] == 10
     assert trainer.step == 30  # training was not stalled
     gui.disconnect()
+
+
+def test_gui_pause_resume():
+    """A client that sets do_training=False pauses the training loop until
+    it allows resuming (reference train.py:146-168 blocks in the GUI loop)."""
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tests.test_train import _gt_scene, _orbit_camera
+    from tpu2dgs.model import splats as splats_lib
+    from tpu2dgs.raster.api import RasterSettings, render as render_op
+    from tpu2dgs.train.loop import TrainConfig, Trainer
+
+    w = h = 32
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=10, seed=8)
+    cams = [_orbit_camera(i, a, w=w, h=h)
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 3, endpoint=False))]
+    st = RasterSettings(width=w, height=h, sh_degree=0, backend="tiled",
+                        bin_capacity=16, tile_capacity=16)
+    for cam in cams:
+        cam.image = np.asarray(
+            render_op(cam.arrays(), st, *gt_splats, jnp.zeros(3))["render"])
+
+    model = splats_lib.create_from_pcd(gt_xyz, gt_rgb, capacity=16)
+    trainer = Trainer(
+        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+        train_cfg=TrainConfig(densify_from_iter=10_000,
+                              normal_from_iter=10_000, dist_from_iter=10_000),
+        max_sh_degree=0,
+        raster_kwargs=dict(backend="tiled", bin_capacity=16, tile_capacity=16),
+    )
+    gui = NetworkGUI("127.0.0.1", 0)
+    gui.init()
+    port = gui.listener.getsockname()[1]
+    trainer.gui = gui
+    trainer.source_path = "/data/test"
+
+    state = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        s.settimeout(120)
+        try:
+            (n,) = struct.unpack("<I", _recv_exact(s, 4))
+            json.loads(_recv_exact(s, n))
+
+            def send_msg(train_flag):
+                msg = {
+                    "resolution_x": 16, "resolution_y": 16,
+                    "train": train_flag,
+                    "fov_y": 1.0, "fov_x": 1.0, "z_near": 0.01,
+                    "z_far": 100.0, "keep_alive": True,
+                    "scaling_modifier": 1.0,
+                    "view_matrix": list(np.eye(4).flatten().astype(float)),
+                    "view_projection_matrix": list(
+                        np.eye(4).flatten().astype(float)),
+                    "render_mode": 0,
+                }
+                payload = json.dumps(msg).encode()
+                s.sendall(struct.pack("<I", len(payload)) + payload)
+                _recv_exact(s, 16 * 16 * 3)
+                (vn,) = struct.unpack("<I", _recv_exact(s, 4))
+                _recv_exact(s, vn)
+                (mn,) = struct.unpack("<I", _recv_exact(s, 4))
+                _recv_exact(s, mn)
+
+            send_msg(False)  # pause: trainer must block on this socket
+            step0 = trainer.step
+            time.sleep(0.7)
+            step1 = trainer.step
+            state["frozen"] = (step0, step1)
+            send_msg(True)   # resume
+        finally:
+            s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    trainer.train(num_iters=60)
+    t.join(timeout=10)
+    assert not t.is_alive()
+    step0, step1 = state["frozen"]
+    assert step0 == step1, f"trainer advanced while paused: {step0}->{step1}"
+    assert trainer.step == 60  # resumed and finished
+    gui.disconnect()

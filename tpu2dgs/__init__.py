@@ -28,12 +28,15 @@ __version__ = "0.1.0"
 # that truncation moves tmat by ~1e-3 relative — enough to push compiled
 # TPU renders ~4e-3 away from the CPU/interpret goldens. Full-f32 passes
 # cost nothing at these shapes (the hot FLOPs live in the Pallas kernels),
-# so make f32-accurate matmuls the framework default. Kernels that rely on
-# bf16-exact small-integer products (select_kernel) pin
-# Precision.DEFAULT explicitly.
+# so make f32-accurate matmuls the framework default — but only when the
+# host application hasn't configured a precision itself (a user-set value,
+# including via JAX_DEFAULT_MATMUL_PRECISION, is respected). Kernels that
+# rely on bf16-exact small-integer products (select_kernel) pin
+# Precision.DEFAULT explicitly either way.
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "highest")
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

@@ -153,7 +153,24 @@ def main(argv=None):
         print(f"render path saved at {traj_dir}")
 
     if not args.skip_mesh:
-        ex = GaussianExtractor(render_fn)
+        # Mesh fusion uses diffuse-only color: the reference forces
+        # active_sh_degree = 0 before reconstruction so fused vertex
+        # colors carry no view dependence (/root/reference/render.py:89-90).
+        import dataclasses as _dc
+
+        settings_d = _dc.replace(settings, sh_degree=0)
+
+        @jax.jit
+        def render_arrays_diffuse(cam_arrays):
+            return render(
+                cam_arrays, settings_d, p.xyz, jnp.exp(p.scaling),
+                p.rotation, jax.nn.sigmoid(p.opacity[:, 0]),
+                splats_lib.features(p), bg, live=model.live,
+                convert_shs_python=pipe_p.convert_SHs_python,
+                compute_cov3d_python=pipe_p.compute_cov3D_python,
+            )
+
+        ex = GaussianExtractor(lambda cam: render_arrays_diffuse(cam.arrays()))
         ex.reconstruction(scene.train_cameras)
         name = "fuse.ply"
         if args.unbounded:

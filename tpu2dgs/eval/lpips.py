@@ -37,10 +37,13 @@ def load_weights(path: str | None = None) -> dict[str, np.ndarray]:
     path = path or default_weights_path()
     if not os.path.exists(path):
         raise FileNotFoundError(
-            f"LPIPS weights not found at {path}; run "
-            "tpu2dgs.eval.lpips.convert_torch_weights on a machine with "
-            "torchvision + the richzhang linear weights, or set "
-            "TPU2DGS_LPIPS_WEIGHTS"
+            f"LPIPS weights not found at {path}. On any machine with "
+            "network access run:\n"
+            "    python scripts/fetch_lpips_weights.py "
+            "--out tpu2dgs/eval/weights/lpips_vgg.npz\n"
+            "(downloads + sha-verifies + converts the exact files the "
+            "reference fetches), or set TPU2DGS_LPIPS_WEIGHTS to an "
+            "existing npz."
         )
     z = np.load(path)
     return {k: z[k] for k in z.files}

@@ -164,11 +164,19 @@ def marching_tetrahedra(grid: np.ndarray, level: float = 0.0,
     # 20-bit fields cover res <= 1048; a row-wise unique over the same
     # data lexsorts 3-column structs ~10x slower). 1e-3 of a cell is far
     # below any real vertex separation and above f32 interpolation noise.
-    assert max(nx, ny, nz) <= 1048, "pack width: raise the field size"
     quant = np.round(flat * np.float32(1e3)).astype(np.int64)  # < 2^20
-    key = (quant[:, 0] << 40) | (quant[:, 1] << 20) | quant[:, 2]
-    uniq, first, inv = np.unique(
-        key, return_index=True, return_inverse=True)
+    if max(nx, ny, nz) <= 1048:
+        key = (quant[:, 0] << 40) | (quant[:, 1] << 20) | quant[:, 2]
+        uniq, first, inv = np.unique(
+            key, return_index=True, return_inverse=True)
+    else:
+        # Wide grids overflow the 20-bit fields: fall back to a row-wise
+        # unique over the raw quantized triples (void view = one memcmp
+        # key per row; slower than the packed path but unbounded).
+        rec = np.ascontiguousarray(quant).view(
+            np.dtype((np.void, quant.dtype.itemsize * 3))).reshape(-1)
+        uniq, first, inv = np.unique(
+            rec, return_index=True, return_inverse=True)
     verts = flat[first].astype(np.float64)
     faces = inv.reshape(-1, 3)
 

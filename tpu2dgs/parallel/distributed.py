@@ -24,12 +24,15 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Idempotent multi-host init. With no args, reads the standard cluster
-    env (TPU pod metadata / JAX_COORDINATOR_ADDRESS); single-process runs
-    are a no-op."""
+    env (TPU pod metadata / JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
+    JAX_PROCESS_ID); single-process runs are a no-op."""
     if num_processes is None:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if process_id is None:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(pid) if pid is not None else None
     if num_processes is None and coordinator_address is None:
         return  # single host
     jax.distributed.initialize(
@@ -37,6 +40,17 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def configure_cpu_rehearsal(local_devices: int = 2) -> None:
+    """Configure THIS process for a multi-process rehearsal on CPU: local
+    virtual devices + gloo cross-process collectives. Must run before any
+    backend initialization. This is the no-hardware dress rehearsal for a
+    real multi-host job — the sharding program and `initialize` env parsing
+    are identical; only the transport differs (gloo vs ICI/DCN)."""
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 
 def make_global_mesh(axis: str = ROWS_AXIS) -> Mesh:

@@ -150,7 +150,17 @@ def rasterize_splat_sharded(
     n_loc = n // n_dev
 
     k_vis = min(settings.vis_capacity or n, n)
+    # NOTE per-device semantics: each shard keeps ITS front-most k_loc
+    # survivors, not the global front-most k_vis (see RasterSettings.
+    # vis_capacity); _aux_vis_overflow flags a shard that lost any.
     k_loc = min(n_loc, max(128, -(-(-(-k_vis // n_dev)) // 128) * 128))
+    if n_dev * k_loc >= 1 << 24:
+        # Merged survivor slots ride an f32 channel through the cross-device
+        # sort/binning; integers past 2^24 are not exactly representable.
+        raise ValueError(
+            f"splat sharding: merged survivor count {n_dev * k_loc} "
+            f">= 2^24 exceeds the f32 slot channel; set "
+            f"vis_capacity < {1 << 24}")
 
     nbx = -(-w // pb.BX)
     nty = -(-h // pb.BY)

@@ -47,7 +47,13 @@ class RasterSettings:
                                  # the DEEPEST candidates; watch
                                  # col_overflow_frac in the out dict)
     vis_capacity: int = 0        # depth-compaction prefix size (0 = all N);
-                                 # binning runs over the front-most K visible
+                                 # binning runs over the front-most K visible.
+                                 # Under splat sharding the budget is split
+                                 # per device (~K/D front-most of EACH
+                                 # shard's splats, not the global front-most
+                                 # K): a shard holding a disproportionate
+                                 # share of near splats can drop survivors —
+                                 # _aux_vis_overflow flags it
     grad_pack_capacity: int = 0  # pallas backward: packed gradient rows per
                                  # tile column (0 = 16 * tile_capacity)
     chunk: int = 32              # splats composited per vector step

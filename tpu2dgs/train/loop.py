@@ -262,6 +262,7 @@ class Trainer:
             else jnp.zeros(3, jnp.float32)
         )
         self.gui = None            # optional viewer.network_gui.NetworkGUI
+        self._gui_paused = False   # client sent do_training=False
         self.source_path = ""      # verify string sent to the viewer
         # Pre-stage per-camera device data once: repeated host->device image
         # uploads per step dominate when the accelerator link is slow, and
@@ -434,10 +435,14 @@ class Trainer:
             gui.try_connect()
         while gui.conn is not None:
             try:
-                # don't let an idle client stall training: only read when a
-                # request is already pending (the reference blocks here,
-                # relying on the client to keep sending)
-                readable, _, _ = select.select([gui.conn], [], [], 0.0)
+                # Don't let an idle client stall training: only read when a
+                # request is already pending — UNLESS the client paused
+                # training (do_training=False), in which case block on it
+                # until it allows resuming, exactly like the reference's
+                # GUI loop (train.py:146-168 loops in receive() and only
+                # breaks once do_training is set again).
+                timeout = None if self._gui_paused else 0.0
+                readable, _, _ = select.select([gui.conn], [], [], timeout)
                 if not readable:
                     break
                 cam, (w, h), do_training, keep_alive, sm, mode = gui.receive()
@@ -460,10 +465,12 @@ class Trainer:
                 gui.send(image_bytes, self.source_path,
                          {"#": int(self.model.num_live()),
                           "loss": self.ema_loss})
+                self._gui_paused = not do_training
                 if do_training and (it < end or not keep_alive):
                     break
             except (ConnectionError, OSError):
                 gui.disconnect()
+                self._gui_paused = False
 
     # -- rendering for eval -------------------------------------------------
 
