@@ -11,11 +11,13 @@ import sys
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 import os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import tpu2dgs  # noqa: E402
+from tpu2dgs.raster import binning  # noqa: E402
 from tpu2dgs.raster import pallas_backend as pb  # noqa: E402
 from tpu2dgs.raster import preprocess as pre  # noqa: E402
 from profile_raster import chain_timed  # noqa: E402
@@ -41,21 +43,34 @@ def main():
     splats = jax.jit(do_pre)(*scene)
     nbx = -(-w // pb.BX)
     nty = -(-h // pb.BY)
-    cap, bin_cap = 2048, 8192
+    cap, bin_cap, col_cap = 2048, 8192, 32768
 
-    binned = jax.jit(
-        lambda s: pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n))(splats)
-    comp, tile_pos = binned[:2]
-    counts = jnp.minimum(binned[3], cap).astype(jnp.int32)
+    comp = jax.jit(lambda s: binning.compact_visible(s, n))(splats)
+    rec_c = jax.jit(
+        lambda s: pb.pack_records(s)[comp.perm])(splats)
+    n_vis = jnp.minimum(comp.num_visible, n)
+
+    def bin_fn(c, rc):
+        return pb._bin_records(
+            c.x0, c.x1, c.y0, c.y1, n_vis, rc, nbx, nty, bin_cap, cap, 0,
+            col_cap=col_cap)
+
+    rec3, raw_counts, bin_counts, col_counts = jax.jit(bin_fn)(comp, rec_c)
+    capk = rec3.shape[2]
+    counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
     row0 = jnp.zeros((1,), jnp.int32)
     t = nbx * nty
     pack_cap = 32768
     off = pb._column_offsets(counts, nbx, nty)
 
     live = int(jnp.sum(counts))
-    print(f"tiles={t} cap={cap} live_entries={live} "
-          f"padding={1 - live / (t * cap):.2%}", flush=True)
+    print(f"tiles={t} capk={capk} live_entries={live} "
+          f"padding={1 - live / (t * capk):.2%} "
+          f"max_count={int(jnp.max(raw_counts))}", flush=True)
 
+    if want("compact"):
+        chain_timed("compact_visible", lambda s: jnp.sum(
+            binning.compact_visible(s, n).depth[:128]), (splats,))
     if want("pack"):
         chain_timed("pack_records", lambda s: jnp.sum(
             pb.pack_records(s)[:, 0]), (splats,))
@@ -63,29 +78,27 @@ def main():
     if want("permgather"):
         chain_timed("rec[perm] (131K rows)", lambda r: jnp.sum(
             r[comp.perm][:, 0]), (rec,))
-    rec_c = jax.jit(lambda r: r[comp.perm].at[:, 21].set(
-        jnp.arange(r.shape[0], dtype=r.dtype)))(rec)
-    if want("tilegather"):
-        chain_timed("rec_c[tile_pos] (716K rows)", lambda r: jnp.sum(
-            r[tile_pos][:, :, 0]), (rec_c,))
-    rec3 = jax.jit(lambda r: r[tile_pos])(rec_c)
+    if want("binning"):
+        chain_timed("binning (L1+colgather+L2+L3)", lambda c, rc: jnp.sum(
+            bin_fn(c, rc)[1]), (comp, rec_c))
 
     if want("fwdkernel"):
         chain_timed("fwd kernel only", lambda r3: jnp.sum(
-            pb._blend_call(r3, counts, row0, nty=nty, interpret=False)),
+            pb._blend_call(r3, counts, row0, nty=nty, capk=capk,
+                           interpret=False)),
             (rec3,))
     out = jax.jit(lambda r3: pb._blend_call(
-        r3, counts, row0, nty=nty, interpret=False))(rec3)
+        r3, counts, row0, nty=nty, capk=capk, interpret=False))(rec3)
     dout = jnp.ones_like(out)
 
     if want("bwdkernel"):
         chain_timed("bwd kernel only", lambda r3: jnp.sum(
             pb._blend_bwd_call(r3, counts, off, row0, out, dout, nty=nty,
-                               pack_cap=pack_cap,
+                               capk=capk, pack_cap=pack_cap,
                                interpret=False)[:, :, 0]), (rec3,))
     dpack = jax.jit(lambda r3: pb._blend_bwd_call(
-        r3, counts, off, row0, out, dout, nty=nty, pack_cap=pack_cap,
-        interpret=False))(rec3)
+        r3, counts, off, row0, out, dout, nty=nty, capk=capk,
+        pack_cap=pack_cap, interpret=False))(rec3)
 
     if want("scatter"):
         def do_scatter(dp):

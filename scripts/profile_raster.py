@@ -77,26 +77,34 @@ def main():
     nty = -(-h // pb.BY)
     cap, bin_cap = 2048, 8192
 
-    if "binning" in stages:
-        chain_timed("binning (compact + 3 selects)", lambda s: jnp.sum(
-            pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n)[3]), (splats,))
+    from tpu2dgs.raster import binning
 
-    binned = jax.jit(
-        lambda s: pb._bin_rect(s, nbx, nty, bin_cap, cap, 0, n))(splats)
-    comp, tile_pos = binned[:2]
-    counts = jnp.minimum(binned[3], cap).astype(jnp.int32)
-    row0 = jnp.zeros((1,), jnp.int32)
-
-    if "gather" in stages:
-        chain_timed("pack + gather", lambda s, tp: jnp.sum(
-            pb.pack_records(s)[comp.perm][tp][:, :, 0]), (splats, tile_pos))
-
+    comp = jax.jit(lambda s: binning.compact_visible(s, n))(splats)
     rec_c = jax.jit(lambda s: pb.pack_records(s)[comp.perm])(splats)
+    n_vis = jnp.minimum(comp.num_visible, n)
+
+    def bin_fn(rc):
+        return pb._bin_records(
+            comp.x0, comp.x1, comp.y0, comp.y1, n_vis, rc, nbx, nty,
+            bin_cap, cap, 0)
+
+    if "binning" in stages:
+        chain_timed("binning (compact + selects)", lambda s, rc: jnp.sum(
+            bin_fn(rc)[1])
+            + jnp.sum(binning.compact_visible(s, n).depth[:1]) * 0.0,
+            (splats, rec_c))
+
+    rec3, raw_counts = jax.jit(lambda rc: bin_fn(rc)[:2])(rec_c)
+    capk = rec3.shape[2]
+    counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
+    row0 = jnp.zeros((1,), jnp.int32)
     pack_cap = 32768
+    rec3i = jax.jit(lambda r: jax.lax.bitcast_convert_type(
+        r, jnp.int32))(rec3)
 
     def blend_sum(rc):
         return jnp.sum(pb.blend_tiles(
-            rc, tile_pos, counts, row0, nbx, nty, pack_cap, False))
+            rc, rec3i, counts, row0, nbx, nty, capk, pack_cap, False))
 
     if "fwd" in stages:
         chain_timed("fwd kernel (+gather)", blend_sum, (rec_c,))

@@ -47,12 +47,20 @@ def main():
     nty = -(-h // pb.BY)
     n = scene[0].shape[0]
 
-    bc = jax.jit(lambda s: pb._bin_rect(
-        s, nbx, nty, 256, 128, 0, n, interpret=False))(splats)
-    bi = jax.jit(lambda s: pb._bin_rect(
-        s, nbx, nty, 256, 128, 0, n, interpret=True))(splats)
-    for name, x, y in [("tile_pos", bc[1], bi[1]), ("counts", bc[3], bi[3]),
-                       ("perm", bc[0].perm, bi[0].perm)]:
+    from tpu2dgs.raster import binning
+
+    comp = jax.jit(lambda s: binning.compact_visible(s, n))(splats)
+    rec_c = jax.jit(lambda s: pb.pack_records(s)[comp.perm])(splats)
+    n_vis = jnp.minimum(comp.num_visible, n)
+
+    def bin_fn(rc, interpret):
+        return pb._bin_records(
+            comp.x0, comp.x1, comp.y0, comp.y1, n_vis, rc, nbx, nty,
+            256, 128, 0, interpret=interpret)
+
+    bc = jax.jit(lambda rc: bin_fn(rc, False))(rec_c)
+    bi = jax.jit(lambda rc: bin_fn(rc, True))(rec_c)
+    for name, x, y in [("rec3", bc[0], bi[0]), ("counts", bc[1], bi[1])]:
         same = np.array_equal(np.asarray(x), np.asarray(y))
         print(f"binning {name}: compiled==interpret -> {same}", flush=True)
         if not same:
@@ -60,18 +68,14 @@ def main():
             print("  ndiff:", dx.sum(), flush=True)
 
     # Blend kernel cross-check on IDENTICAL binning inputs.
-    comp, tile_pos = bc[0], bc[1]
-    counts = jnp.minimum(bc[3], 128).astype(jnp.int32)
-    pad = (-tile_pos.shape[1]) % pb.CHUNK
-    if pad:
-        tile_pos = jnp.pad(tile_pos, ((0, 0), (0, pad)))
-    rec_c = jax.jit(lambda s: pb.pack_records(s)[comp.perm])(splats)
+    rec3 = bc[0]
+    capk = rec3.shape[2]
+    counts = jnp.minimum(bc[1], capk).astype(jnp.int32)
     row0 = jnp.zeros((1,), jnp.int32)
-    rec3 = rec_c[tile_pos]
     oc = jax.jit(lambda r: pb._blend_call(
-        r, counts, row0, nty=nty, interpret=False))(rec3)
+        r, counts, row0, nty=nty, capk=capk, interpret=False))(rec3)
     oi = jax.jit(lambda r: pb._blend_call(
-        r, counts, row0, nty=nty, interpret=True))(rec3)
+        r, counts, row0, nty=nty, capk=capk, interpret=True))(rec3)
     d = np.abs(np.asarray(oc, np.float64) - np.asarray(oi, np.float64))
     print(f"blend compiled-vs-interpret maxabs={d.max():.3e}", flush=True)
     for ch in range(13):

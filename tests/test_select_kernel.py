@@ -105,3 +105,65 @@ def test_select_pads_to_macro_block():
     rects = (jnp.array([100.0]), jnp.array([220.0]),
              jnp.array([0.0]), jnp.array([10.0]))
     _check(rects, boxes, jnp.zeros(1, jnp.int32), 128)
+
+
+def test_exact_coverage_no_false_negatives():
+    """The conic∪circle coverage test must pass every (splat, tile) pair
+    where ANY integer pixel of the tile blends the splat (the blend
+    kernels' `hit`): a false negative would change rendered outputs. Also
+    sanity-check it actually prunes some AABB-overlapping pairs (it is the
+    point of the test)."""
+    import jax
+
+    from tests.test_tiled import _cam, _random_scene
+    from tpu2dgs.raster import pallas_backend as pb
+    from tpu2dgs.raster import preprocess as pre
+    from tpu2dgs.raster.pallas_backend import _EXACT_IDX, _splat_response
+    from tpu2dgs.raster.select_kernel import _exact_coverage
+
+    w, h = 512, 256
+    cam = _cam(w, h)
+    scene = _random_scene(n=256, seed=33)
+    splats = pre.preprocess(*scene[:5], cam, w, h, 3)
+    rec = np.asarray(pb.pack_records(splats))
+    vis = np.asarray(splats.visible)
+    box_lo = np.asarray(splats.box_center - splats.box_half)
+    box_hi = np.asarray(splats.box_center + splats.box_half)
+
+    rng = np.random.default_rng(0)
+    checked = hits = covered = aabb_pairs = 0
+    for s in np.nonzero(vis)[0]:
+        # tiles the binning AABB touches (the only pairs binning tests)
+        i0 = int(np.clip(box_lo[s, 0] // pb.BX, 0, w // pb.BX - 1))
+        i1 = int(np.clip(box_hi[s, 0] // pb.BX, 0, w // pb.BX - 1))
+        j0 = int(np.clip(box_lo[s, 1] // pb.BY, 0, h // pb.BY - 1))
+        j1 = int(np.clip(box_hi[s, 1] // pb.BY, 0, h // pb.BY - 1))
+        for ti in range(i0, i1 + 1):
+            for tj in range(j0, j1 + 1):
+                aabb_pairs += 1
+                rx0, ry0 = ti * pb.BX, tj * pb.BY
+                px = rx0 + jnp.broadcast_to(
+                    jnp.arange(pb.BX, dtype=jnp.float32)[None, :],
+                    (pb.BY, pb.BX))
+                py = ry0 + jnp.broadcast_to(
+                    jnp.arange(pb.BY, dtype=jnp.float32)[:, None],
+                    (pb.BY, pb.BX))
+                r = [jnp.float32(rec[s, k]) for k in range(21)]
+                hit = np.asarray(
+                    _splat_response(r, px, py)[2])  # (BY, BX) bool
+                blocks = [jnp.full((1, 1), rec[s, c], jnp.float32)
+                          for c in range(24)]
+                cov = bool(np.asarray(_exact_coverage(
+                    blocks, _EXACT_IDX, jnp.float32(rx0),
+                    jnp.float32(rx0 + pb.BX - 1), jnp.float32(ry0),
+                    jnp.float32(ry0 + pb.BY - 1)))[0, 0])
+                checked += 1
+                if hit.any():
+                    hits += 1
+                    assert cov, (
+                        f"false negative: splat {s} tile ({ti},{tj})")
+                if cov:
+                    covered += 1
+    assert hits > 50, "test scene too sparse to be meaningful"
+    assert covered < aabb_pairs, (
+        "coverage test never pruned an AABB pair — not effective")

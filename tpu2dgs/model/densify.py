@@ -76,11 +76,25 @@ def densify_and_prune(
     key: jax.Array,
     extent,
     use_size_prune,  # bool: True once opacity resets started (train.py:132)
+    segments: int = 1,
 ):
-    """One densification round. Returns (model, adam, DensifyInfo)."""
+    """One densification round. Returns (model, adam, DensifyInfo).
+
+    `segments` partitions the capacity axis into S contiguous blocks and
+    compacts children into free slots OF THEIR OWN BLOCK — the
+    sharding-preserving formulation for gaussian parallelism: with
+    segments = mesh size, the rank cumsum, the free-slot argsort, and the
+    child scatter all run per-block (batched ops over a leading S axis
+    GSPMD shards with zero collectives), so model + Adam state stay 1/D
+    per device through densification. segments=1 is the exact global
+    compaction. A block whose children exceed its local free slots drops
+    the overflow (num_dropped; the Trainer's capacity growth heals it) —
+    same capacity-bounded semantics as the global form, applied per block.
+    """
     p = model.params
     c = model.capacity
     live = model.live
+    assert c % segments == 0, (c, segments)
 
     grads = jnp.where(model.denom > 0, model.grad_accum / jnp.maximum(model.denom, 1.0), 0.0)
     scale_act = jnp.exp(p.scaling)          # (C,2)
@@ -135,25 +149,52 @@ def densify_and_prune(
     )  # leaves (2C, ...)
     child_valid = jnp.concatenate([clone_mask | split_mask, split_mask])  # (2C,)
 
-    # --- compaction: k-th valid child -> k-th free slot ---------------------
-    free = ~live_after
-    num_free = jnp.sum(free)
-    slot_order = jnp.argsort(~free, stable=True)          # free slot indices first
-    child_rank = jnp.cumsum(child_valid) - 1              # (2C,)
-    write = child_valid & (child_rank < num_free)
-    dest = jnp.where(write, slot_order[jnp.clip(child_rank, 0, c - 1)], c)
+    # --- compaction: k-th valid child -> k-th free slot, per segment --------
+    # Child axis order within a segment: all child-0 rows then all child-1
+    # rows (with segments=1 this is exactly the global (2C,) priority).
+    s = segments
+    ell = c // s
+
+    def seg_children(a):
+        # (2C, ...) in (child, seg, row) order -> (S, 2*L, ...)
+        return jnp.swapaxes(
+            a.reshape(2, s, ell, *a.shape[1:]), 0, 1
+        ).reshape(s, 2 * ell, *a.shape[1:])
+
+    def unseg_children(a):
+        # inverse of seg_children (for masks computed in segment order)
+        return jnp.swapaxes(
+            a.reshape(s, 2, ell, *a.shape[2:]), 0, 1
+        ).reshape(2 * c, *a.shape[2:])
+
+    free_s = (~live_after).reshape(s, ell)
+    num_free = jnp.sum(free_s, axis=1)                    # (S,)
+    slot_order = jnp.argsort(~free_s, axis=1, stable=True)  # free-first (S,L)
+    valid_s = seg_children(child_valid)                   # (S, 2L)
+    rank = jnp.cumsum(valid_s, axis=1) - 1                # (S, 2L)
+    write_s = valid_s & (rank < num_free[:, None])
+    dest_s = jnp.where(
+        write_s,
+        jnp.take_along_axis(slot_order, jnp.clip(rank, 0, ell - 1), axis=1),
+        ell,
+    )  # segment-local; ell = dropped
 
     def scatter(dst_arr, src_arr):
-        # dest == c for non-written children: dropped by scatter mode.
-        return dst_arr.at[dest].set(src_arr, mode="drop")
+        # dest == L for non-written children: dropped by scatter mode.
+        # Batched over segments: GSPMD shards the leading axis.
+        return jax.vmap(
+            lambda a, d, v: a.at[d].set(v, mode="drop")
+        )(dst_arr.reshape(s, ell, *dst_arr.shape[1:]), dest_s,
+          seg_children(src_arr)).reshape(dst_arr.shape)
 
     new_params = jax.tree.map(scatter, p, children)
-    new_live = live_after.at[dest].set(True, mode="drop")
+    new_live = scatter(live_after, jnp.ones((2 * c,), bool))
 
     # --- optimizer surgery: zero moments of every changed row ---------------
-    written = jnp.zeros((c,), bool).at[dest].set(True, mode="drop")
+    written = scatter(jnp.zeros((c,), bool), jnp.ones((2 * c,), bool))
     changed = written | (live & ~live_after)
     new_adam = optim_lib.surgery(adam, changed)
+    write = unseg_children(write_s)
 
     zeros = jnp.zeros((c,), jnp.float32)
     info = DensifyInfo(

@@ -49,6 +49,25 @@ def make_mesh(n_devices: int | None = None, axis: str = ROWS_AXIS) -> Mesh:
     return Mesh(devs[:n], (axis,))
 
 
+def shard_model_state(model, adam, mesh: Mesh, axis: str = ROWS_AXIS):
+    """Place model + Adam state SHARDED over the mesh: every per-splat
+    array (leading capacity axis) gets NamedSharding(P(axis)); scalars are
+    replicated. This is what makes gaussian parallelism a MEMORY-scaling
+    mode, not just a compute one: params, gradients, Adam moments, and the
+    densification stats all live at 1/D per device. The train step's
+    shard_map consumes them with in_specs P(axis) (zero resharding), the
+    Adam update is elementwise (GSPMD keeps it sharded), and densification
+    uses the segment-local formulation (model/densify.py segments=D)."""
+    split = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def place(a):
+        a = jnp.asarray(a)
+        return jax.device_put(a, split if a.ndim >= 1 else rep)
+
+    return jax.tree.map(place, model), jax.tree.map(place, adam)
+
+
 def _strip_rows(height: int, tile_px: int, coarse_tiles: int, n_dev: int) -> int:
     """Tile rows per device, rounded up to a whole number of coarse-bin rows."""
     nty = -(-height // tile_px)
@@ -207,9 +226,10 @@ def rasterize_splat_sharded(
 
         n_vis = lax.psum(jnp.minimum(comp.num_visible, k_loc), axis)
         col_cap = settings.col_capacity
-        tile_pos, tile_valid, counts, bin_counts, col_counts = pb._bin_boxes(
-            sx0, sx1, sy0, sy1, n_vis, nbx, rows_per, bin_cap, cap,
-            d * rows_per, col_cap=col_cap, interpret=interpret)
+        rec3, counts, bin_counts, col_counts = pb._bin_records(
+            sx0, sx1, sy0, sy1, n_vis, lax.stop_gradient(rec_c), nbx,
+            rows_per, bin_cap, cap, d * rows_per, col_cap=col_cap,
+            interpret=interpret)
 
         aux = {
             "_aux_bin_overflow_frac": jnp.mean(
@@ -221,7 +241,7 @@ def rasterize_splat_sharded(
                 comp.num_visible > k_loc).astype(jnp.float32),
         }
         img, allmap = pb.blend_binned(
-            rec_c, tile_pos, counts, settings, bg, nbx, rows_per,
+            rec_c, rec3, counts, settings, bg, nbx, rows_per,
             d * rows_per, False, interpret, aux)
         aux_out = {k: lax.pmax(v, axis) for k, v in allmap.items()
                    if k.startswith("_aux_")}

@@ -60,8 +60,8 @@ def compact_visible(splats: SplatScreen, k: int) -> Compacted:
     (measured ~2.8ms of pure gather overhead on v5e)."""
     depth = lax.stop_gradient(splats.depth)  # +inf where culled
     n = depth.shape[0]
-    c = lax.stop_gradient(splats.filter_center)
-    e = lax.stop_gradient(splats.half_extent)
+    c = lax.stop_gradient(splats.box_center)
+    e = lax.stop_gradient(splats.box_half)
     iota = jnp.arange(n, dtype=jnp.int32)
     sdepth, order, scx, scy, sex, sey = lax.sort(
         (depth, iota, c[:, 0], c[:, 1], e[:, 0], e[:, 1]), dimension=0,

@@ -26,14 +26,22 @@ Binning goes through binning.py (global depth compaction + prefix-sum
 selection) with rectangular (BX x BY) tiles; per-tile lists arrive
 depth-sorted and deterministic.
 
-Record layout (REC = 24 floats, lane-padded):
+Record layout (REC = 24 floats):
   0:9   c1, c2, c3        (intersection constants)
   9:12  a3                (tmat w column: intersection depth)
   12:15 color
   15:18 normal (view space)
   18    opacity
   19:21 filter_center     (screen-space low-pass; no gradient by design)
-  21:24 pad
+  21    compacted-slot id (stamped by binning's carried iota channel; the
+                           backward scatter target. Zero in pack_records)
+  22    te2, 23 fr2       (adaptive coverage bounds, binning-only)
+
+Binning carries the full record through the select-kernel hierarchy
+(_bin_records), so the per-tile record lists the blend kernels consume come
+straight out of the L3 compaction — there is no (T, cap) row gather
+anywhere, and the L2/L3 hit test is the exact conic∪circle coverage test
+(select_kernel._exact_coverage) instead of the reference's AABB binning.
 
 Output channel layout (OUT_CH = 16):
   0:3 rgb (alpha-weighted, pre-background)   3 T_final
@@ -78,7 +86,9 @@ CHUNK = 32  # splats per early-exit check
 
 
 def pack_records(splats: SplatScreen) -> jnp.ndarray:
-    """(N, REC) per-splat record. Differentiable (pure XLA)."""
+    """(N, REC) per-splat record. Differentiable (pure XLA); channels 21-23
+    (slot pad + the adaptive coverage bounds) are binning-side constants
+    with exactly-zero gradients."""
     tmat = splats.tmat
     a1 = tmat[:, :, 0]
     a2 = tmat[:, :, 1]
@@ -94,7 +104,9 @@ def pack_records(splats: SplatScreen) -> jnp.ndarray:
             splats.normal,
             splats.opacity[:, None],
             lax.stop_gradient(splats.filter_center),
-            jnp.zeros((n, REC - 21), tmat.dtype),
+            jnp.zeros((n, 1), tmat.dtype),
+            lax.stop_gradient(splats.te2)[:, None],
+            lax.stop_gradient(splats.fr2)[:, None],
         ],
         axis=-1,
     )
@@ -134,18 +146,18 @@ def _splat_response(r, px, py):
     return alpha, depthp, hit, G, su, sv, inv, not_clamped, use3d
 
 
-def _read_rec(rec_ref, jj):
-    # rec_ref is the FLAT (1, C*REC) record block in SMEM: per-splat
-    # constants are read as true scalars. Scalar SMEM loads feed VPU
-    # broadcast operands directly; the previous VMEM row-read + 21 lane
-    # extracts cost ~130 cycles/splat in cross-lane relayouts (measured
-    # 368 -> 240 cy/step on v5e when switched to SMEM).
-    base = jj * REC
-    return [rec_ref[0, 0, base + k] for k in range(21)]
+def _read_rec(rec_ref, jj, stride: int):
+    # rec_ref is the FLAT (1, 1, NCH*capk) CHANNEL-MAJOR record block in
+    # SMEM (channel c of list slot j at c*stride + j, exactly the layout
+    # _bin_records emits): per-splat constants are read as true scalars.
+    # Scalar SMEM loads feed VPU broadcast operands directly; a VMEM
+    # row-read + 21 lane extracts cost ~130 cycles/splat in cross-lane
+    # relayouts (measured 368 -> 240 cy/step on v5e when switched to SMEM).
+    return [rec_ref[0, 0, k * stride + jj] for k in range(21)]
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
-                unroll: bool):
+                capk: int, unroll: bool):
     # Grid is COLUMN-major (tile i -> column i//nty, row i%nty) so that the
     # backward kernel's per-column gradient accumulator block stays
     # resident across all of a column's tiles.
@@ -178,7 +190,7 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
             (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist,
              last) = state
             jj = j0 + k
-            r = _read_rec(rec_ref, jj)
+            r = _read_rec(rec_ref, jj, capk)
             alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
                 r, px, py)
             ok = hit & (alive > 0.0) & (jj < count)
@@ -247,7 +259,7 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
 
 
 def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
-                dpack_ref, scratch, *, nty: int,
+                dpack_ref, scratch, *, nty: int, capk: int,
                 pack_cap: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
     accumulators, emitting COLUMN-PACKED gradient rows.
@@ -257,9 +269,9 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
     column), so the packed output holds ~live rows instead of the
     (T, cap, REC) padded form — the XLA scatter-add outside then processes
     ~4x fewer rows (the padded form measured 15ms/frame at 78% padding).
-    Rows carry their compacted-slot target in channel 21 (record channel 21
-    is overwritten with a slot iota by _blend_fwd), so no index array needs
-    to be packed alongside. Chunk stores past `count` write zero rows with
+    Rows carry their compacted-slot target in channel 21 (the slot iota
+    channel binning carries through the record compaction), so no index
+    array needs to be packed alongside. Chunk stores past `count` write zero rows with
     slot 0 (a harmless +=0 in the scatter); rows skipped by the early-exit
     start_chunk stay zero from the column init.
 
@@ -321,7 +333,7 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             k = CHUNK - 1 - kk
             jj = j0 + k
             (T_cur, acc_w, s_w, s_wm, acc_a, med_done, s_wm2) = carry
-            r = _read_rec(rec_ref, jj)
+            r = _read_rec(rec_ref, jj, capk)
             alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
                 r, px, py)
             fj = jj.astype(jnp.float32)
@@ -438,7 +450,7 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             # Compacted-slot target rides in channel 21 (lane 0 only, so
             # the chunk's lane reduction recovers it exactly); zero past
             # `count` so stray rows scatter zeros to slot 0.
-            sl = jnp.where(jj < count, rec_ref[0, 0, jj * REC + 21], 0.0)
+            sl = jnp.where(jj < count, rec_ref[0, 0, 21 * capk + jj], 0.0)
             rows[21] = lane0 * sl
             # (Paired (2,BX) stores measured even with singles — the
             # sublane concatenate costs what the saved store gains.)
@@ -482,17 +494,21 @@ class PallasMaps(NamedTuple):
     distortion: jnp.ndarray  # (H, W)
 
 
-def _blend_call(rec3, counts, row0, *, nty, interpret):
-    t, c, _ = rec3.shape
+def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
+    """rec3: (T, NCH, capk) channel-major per-tile record lists."""
+    t, nch, _ = rec3.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            # Flat (1, 1, C*REC) in SMEM: per-splat scalar reads, no lane
-            # relayouts, and no 24->128 lane padding of the record axis
-            # (the singleton middle dim satisfies Mosaic's last-two-dims
-            # block rule).
-            pl.BlockSpec((1, 1, c * REC), lambda i, counts, row0: (i, 0, 0),
+            # Flat (1, 1, NCH*capk) in SMEM: per-splat scalar reads, no
+            # lane relayouts, and no lane padding of the record axis (the
+            # singleton middle dim satisfies Mosaic's last-two-dims block
+            # rule). The flattened channel-major layout is exactly
+            # _bin_records' output — no gather, transpose, or copy between
+            # binning and blending.
+            pl.BlockSpec((1, 1, nch * capk),
+                         lambda i, counts, row0: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, OUT_CH, BY, BX),
@@ -500,12 +516,12 @@ def _blend_call(rec3, counts, row0, *, nty, interpret):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nty=nty,
+        functools.partial(_fwd_kernel, nty=nty, capk=capk,
                           unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3.reshape(t, 1, c * REC))
+    )(counts, row0, rec3.reshape(t, 1, nch * capk))
 
 
 def _column_offsets(counts, nbx, nty):
@@ -518,15 +534,15 @@ def _column_offsets(counts, nbx, nty):
     return (jnp.cumsum(cc, axis=1) - cc).reshape(-1).astype(jnp.int32)
 
 
-def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, pack_cap,
-                    interpret):
-    t, c, _ = rec3.shape
+def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
+                    pack_cap, interpret):
+    t, nch, _ = rec3.shape
     nbx = t // nty
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, 1, c * REC), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, nch * capk), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX),
                          lambda i, *_: (i, 0, 0, 0),
@@ -546,53 +562,57 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, pack_cap,
             pltpu.VMEM((CHUNK * REC // 128, 128, BX), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nty=nty,
+        functools.partial(_bwd_kernel, nty=nty, capk=capk,
                           pack_cap=pack_cap, unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (nbx, pack_cap * REC // 128, 128), jnp.float32),
         interpret=interpret,
-    )(counts, row0, off, rec3.reshape(t, 1, c * REC), out, dout)
+    )(counts, row0, off, rec3.reshape(t, 1, nch * capk), out, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def blend_tiles(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def blend_tiles(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
                 interpret):
-    """Gather + blend with a column-packed scatter backward.
+    """Blend pre-binned record lists with a column-packed scatter backward.
 
-    rec_c (K, REC) depth-compacted records, tile_pos (T, C) compacted
-    slots per tile, counts (T,) list lengths -> (T, OUT_CH, BY, BX).
-    The gather rec_c[tile_pos] lives INSIDE the custom_vjp: the forward
-    stamps each record's compacted slot into pad channel 21 before
-    gathering, the backward kernel emits column-packed gradient rows
-    carrying that slot, and one XLA scatter-add over ~live rows (instead
-    of all T*C padded rows) routes them back to compacted records."""
-    rec3 = rec_c[tile_pos]
-    return _blend_call(rec3, counts, row0, nty=nty, interpret=interpret)
+    rec_c (K, REC): the depth-compacted differentiable records (data
+    UNREAD in the forward — the gradient routing target). rec3i
+    (T, NCH, capk) int32: the bitcast of _bin_records' channel-major
+    per-tile record lists (numerically identical to a rec_c gather: the
+    select kernel's mantissa-split carry is exact), with each record's
+    compacted slot in channel 21. int32 so the custom_vjp owes it no
+    cotangent — exactly like the old tile_pos index argument it replaces.
+    The backward kernel emits column-packed gradient rows carrying the
+    slot, and one XLA scatter-add over ~live rows routes them back to
+    rec_c."""
+    rec3 = lax.bitcast_convert_type(rec3i, jnp.float32)
+    return _blend_call(rec3, counts, row0, nty=nty, capk=capk,
+                       interpret=interpret)
 
 
-def _blend_fwd(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,
+def _blend_fwd(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
                interpret):
-    k = rec_c.shape[0]
-    rec_cs = rec_c.at[:, 21].set(jnp.arange(k, dtype=rec_c.dtype))
-    rec3 = rec_cs[tile_pos]
-    out = _blend_call(rec3, counts, row0, nty=nty, interpret=interpret)
-    # rec3 (with the slot channel) is the residual: the backward skips the
-    # re-gather entirely. rec_c rides along only for its shape/dtype.
+    rec3 = lax.bitcast_convert_type(rec3i, jnp.float32)
+    out = _blend_call(rec3, counts, row0, nty=nty, capk=capk,
+                      interpret=interpret)
+    # rec3 is the residual. rec_c rides along only for its shape/dtype.
     return out, (rec_c, rec3, counts, row0, out)
 
 
-def _blend_bwd(nbx, nty, pack_cap, interpret, res, dout):
+def _blend_bwd(nbx, nty, capk, pack_cap, interpret, res, dout):
     rec_c, rec3, counts, row0, out = res
     off = _column_offsets(counts, nbx, nty)
     dpack = _blend_bwd_call(rec3, counts, off, row0, out, dout, nty=nty,
-                            pack_cap=pack_cap, interpret=interpret)
+                            capk=capk, pack_cap=pack_cap,
+                            interpret=interpret)
     flat = dpack.reshape(-1, REC)
     idx = flat[:, 21].astype(jnp.int32)
     drec_c = jnp.zeros_like(rec_c).at[idx].add(flat)
-    # Channel 21 accumulated slot ids; the record's own channel 21 is a
-    # zero pad whose gradient must be zero.
-    drec_c = drec_c * (jnp.arange(REC) != 21).astype(drec_c.dtype)[None, :]
+    # Channel 21 accumulated slot ids; channels 21-23 of the record are
+    # binning-side constants whose gradient must be zero (21's rows carry
+    # slot ids; 22/23's rows are always zero, masked anyway for clarity).
+    drec_c = drec_c * (jnp.arange(REC) < 21).astype(drec_c.dtype)[None, :]
     return drec_c, None, None, None
 
 
@@ -620,14 +640,16 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
     k_vis = min(settings.vis_capacity or n, n)
 
-    col_cap = settings.col_capacity
-    (comp, tile_pos, tile_valid, raw_counts, bin_counts,
-     col_counts) = _bin_rect(
-        splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
-        col_cap=col_cap, interpret=interpret)
-
+    comp = binning.compact_visible(splats, k_vis)
     rec = pack_records(splats)                  # (N, REC) differentiable
     rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
+    n_vis = jnp.minimum(comp.num_visible, k_vis)
+
+    col_cap = settings.col_capacity
+    rec3, raw_counts, bin_counts, col_counts = _bin_records(
+        comp.x0, comp.x1, comp.y0, comp.y1, n_vis,
+        lax.stop_gradient(rec_c), nbx, nty, bin_cap, cap, tile_row0,
+        col_cap=col_cap, interpret=interpret)
 
     aux = {
         "_aux_bin_overflow_frac": jnp.mean(
@@ -636,38 +658,37 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
             (col_counts > col_cap).astype(jnp.float32)),
         "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
     }
-    return blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color,
+    return blend_binned(rec_c, rec3, raw_counts, settings, bg_color,
                         nbx, nty, tile_row0, full, interpret, aux)
 
 
-def blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color, nbx, nty,
+def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
                  tile_row0, full, interpret, aux):
-    """Blend pre-binned, depth-ordered records into (image, allmap).
+    """Blend pre-binned, depth-ordered record lists into (image, allmap).
 
     The shared tail of rasterize_pallas and the splat-sharded path
-    (parallel/sharded.py): rec_c (K, REC) depth-compacted records,
-    tile_pos (T, cap) compacted slots per tile, raw_counts (T,) total
+    (parallel/sharded.py): rec_c (K, REC) depth-compacted differentiable
+    records (the gradient target), rec3 (T, NCH, capk) channel-major
+    per-tile record lists from _bin_records (stop-gradient data; slot
+    channel 21 routes gradients back to rec_c), raw_counts (T,) total
     overlaps. `aux` = extra _aux_* diagnostics merged into allmap."""
     w, h = settings.width, settings.height
-    cap = tile_pos.shape[1]
-    counts = jnp.minimum(raw_counts, cap).astype(jnp.int32)
-    pad_cols = (-tile_pos.shape[1]) % CHUNK
-    if pad_cols:
-        tile_pos = jnp.pad(tile_pos, ((0, 0), (0, pad_cols)))
+    t, nch, capk = rec3.shape
+    counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
 
     # Per-column capacity of the backward's packed gradient rows: the sum
     # of a column's tile counts, plus a chunk-alignment slack per tile.
-    # The upper clamp uses the true worst case — nty tiles of CHUNK-ALIGNED
-    # cap — so an explicitly adequate grad_pack_capacity is never reduced
-    # below it (clamping to nty*cap under-counted the alignment slack and
-    # could overwrite gradient rows when every tile ran full).
-    cap_al = -(-cap // CHUNK) * CHUNK
-    pack_cap = settings.grad_pack_capacity or (
-        16 * _round128(max(cap, 128)))
-    pack_cap = min(_round128(pack_cap), _round128(nty * cap_al))
+    # The upper clamp uses the true worst case — nty tiles at the (already
+    # CHUNK-aligned) effective capacity capk — so an explicitly adequate
+    # grad_pack_capacity is never reduced below it.
+    pack_cap = settings.grad_pack_capacity or (16 * _round128(capk // 16))
+    pack_cap = min(_round128(pack_cap), _round128(nty * capk))
 
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
-    out = blend_tiles(rec_c, tile_pos, counts, row0, nbx, nty, pack_cap,
+    # int32 bitcast at the custom_vjp boundary: index-like data owes no
+    # cotangent (see blend_tiles).
+    rec3i = lax.bitcast_convert_type(rec3, jnp.int32)
+    out = blend_tiles(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
                       interpret)
     # Max packed write extent per column = sum of its CHUNK-aligned counts
     # (each tile's span is chunk-aligned; see _column_offsets).
@@ -691,7 +712,7 @@ def blend_binned(rec_c, tile_pos, raw_counts, settings, bg_color, nbx, nty,
         # diagnostics (scalar, popped by api.render into the out dict):
         # fraction of tiles whose overlap set exceeded capacity (tail cut)
         "_aux_tile_overflow_frac": jnp.mean(
-            (raw_counts > cap).astype(jnp.float32)),
+            (raw_counts > capk).astype(jnp.float32)),
         # fraction of tile columns whose packed gradient rows exceeded
         # grad_pack_capacity (backward gradients corrupted in the tail)
         "_aux_grad_pack_overflow_frac": jnp.mean(
@@ -705,97 +726,98 @@ def _round128(x: int) -> int:
     return max(128, -(-x // 128) * 128)
 
 
-def _bin_rect(splats, nbx, nty, bin_cap, cap, tile_row0, k_vis,
-              col_cap=32768, interpret=False):
-    """compact_visible + box binning (see _bin_boxes)."""
-    comp = binning.compact_visible(splats, k_vis)
-    n_vis = jnp.minimum(comp.num_visible, k_vis)
-    tile_pos, tile_valid, counts, bin_counts, col_counts = _bin_boxes(
-        comp.x0, comp.x1, comp.y0, comp.y1, n_vis, nbx, nty, bin_cap, cap,
-        tile_row0, col_cap=col_cap, interpret=interpret)
-    return (comp, tile_pos, tile_valid, counts, bin_counts, col_counts)
+# Channel map of the record-carrying binning levels: the full REC-channel
+# record first, then the 4 binning-AABB channels. The exact coverage test
+# reads c1/c2/c3 (0:9), filter_center (19:21), te2 (22), fr2 (23).
+NCH = REC + 4
+_BOX_IDX = (REC, REC + 1, REC + 2, REC + 3)
+_EXACT_IDX = tuple(range(9)) + (19, 20, 22, 23)
 
 
-def _bin_boxes(x0, x1, y0, y1, n_vis, nbx, nty, bin_cap, cap, tile_row0,
-               col_cap=32768, interpret=False):
-    """Three-level kernel binning: columns -> coarse bins -> fine tiles.
+def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
+                 tile_row0, col_cap=32768, interpret=False):
+    """Three-level record-carrying binning: columns -> coarse bins -> tiles.
 
-    x0..y1: (K,) screen AABBs in DEPTH-ASCENDING order (never-hit boxes
-    past n_vis). Every level is one call of the Pallas stream-compaction
-    kernel; XLA only gathers candidate boxes between levels. Positional
-    order in the depth-compacted space makes every list front-to-back
-    sorted and deterministic.
+    x0..y1: (K,) screen binning AABBs in DEPTH-ASCENDING order (never-hit
+    boxes past n_vis); rec_sg: (K, REC) stop-gradient records in the same
+    order. Positional order in the depth-compacted space makes every list
+    front-to-back sorted and deterministic.
 
-      L1: screen columns (one BX-wide tile column each) select from the
-          global compacted array — the only level that walks all K splats,
-          and there are only nbx rows of it.
-      L2: coarse bins (1 column x 4 tile rows) select from their column's
-          candidates.
-      L3: fine (BX x BY) tiles select from their bin's candidates.
+    Returns (rec3 (T, NCH, capk) f32 channel-major per-tile record lists —
+    directly consumable by the blend kernels, NO (T, cap) row gather
+    anywhere — counts (T,), bin_counts (NB,), col_counts (nbx,)).
+
+      L1: screen columns (one BX-wide tile column each) select slim
+          box+slot channels from the global compacted array — the only
+          level that walks all K splats; a full-record carry there would
+          blow VMEM (NCH channels x K). One row gather then builds the
+          column record lists (nbx*col_cap rows, ~3x fewer than the
+          per-tile gather this design replaces).
+      L2: coarse bins (1 column x 4 tile rows, COLUMN-major so consecutive
+          grid steps reuse the resident parent block) select full records
+          from their column's candidates under the EXACT conic∪circle
+          coverage test — strictly tighter than AABB overlap, and exactly
+          output-preserving (the blend kernels' per-pixel hit set is a
+          subset of the coverage region; see select_kernel._exact_coverage).
+      L3: fine (BX x BY) tiles select from their bin's candidates, same
+          exact test. Tiles are COLUMN-major (t = tix*nty + tiy) so the
+          backward kernel keeps one column accumulator resident across a
+          column's consecutive grid steps.
     """
     cby = 4  # coarse bin = (BX, 4*BY) px
     nby_c = -(-nty // cby)
     f32 = jnp.float32
 
     kp = _round128(x0.shape[0])
-
     col_cap = _round128(min(col_cap, kp))
     bin_capk = _round128(min(bin_cap, col_cap))
     capk = _round128(min(cap, bin_capk))
 
-    # Every level compacts 5 channels — the 4 hit-test AABBs plus the
-    # global compacted-slot index carried as an f32 value (exact: slots
-    # < 2^24) — so levels chain with ZERO XLA gathers between them
-    # (element gathers at these shapes measured ~10-50x the kernel cost).
+    # L1: columns over the strip's full y range (AABB-only test: a
+    # full-height column strip gains nothing from the exact test). The
+    # global slot index rides as an f32 channel (exact: slots < 2^24).
     g0 = jnp.arange(x0.shape[0], dtype=f32)[None, :]
-    gchan = (x0[None], x1[None], y0[None], y1[None], g0)
-
-    # L1: columns over the strip's full y range.
     y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
     y_hi = y_lo + (nty * BY - 1)
     cix = jnp.arange(nbx, dtype=f32)
     cchan, col_cnt = select_kernel.select_values(
         (cix * BX, cix * BX + (BX - 1), y_lo, y_hi),
-        gchan, jnp.zeros((nbx,), jnp.int32), col_cap,
+        (x0[None], x1[None], y0[None], y1[None], g0),
+        jnp.zeros((nbx,), jnp.int32), col_cap,
         parent_counts=jnp.broadcast_to(n_vis, (nbx,)), interpret=interpret)
 
-    # L2: coarse bins from their column's candidates (y test only matters).
+    # Column record lists: the one gather of the design (pad slots are 0 —
+    # a live record — but their never-hit box channels kill them at L2).
+    # Channel 21 is stamped with the compacted slot: the backward scatter
+    # target carried to the blend kernels.
+    slot_f = cchan[:, 4]                                  # (nbx, col_cap)
+    rec_col = jnp.transpose(rec_sg[slot_f.astype(jnp.int32)], (0, 2, 1))
+    rec_col = rec_col.at[:, 21, :].set(slot_f)
+    l2_in = jnp.concatenate([rec_col, cchan[:, 0:4]], axis=1)  # (nbx,NCH,·)
+
+    # L2: coarse bins from their column's candidates, exact coverage.
     nb = nby_c * nbx
-    bix = jnp.arange(nb, dtype=f32) % nbx
-    biy = (jnp.arange(nb, dtype=f32) // nbx
-           + jnp.asarray(tile_row0, f32) / cby)
-    bin_parent = jnp.arange(nb, dtype=jnp.int32) % nbx
+    bi = jnp.arange(nb, dtype=jnp.int32)
+    bix = (bi // nby_c).astype(f32)
+    biy = (bi % nby_c).astype(f32) + jnp.asarray(tile_row0, f32) / cby
+    bin_parent = bi // nby_c
     bchan, bin_counts = select_kernel.select_values(
         (bix * BX, bix * BX + (BX - 1),
          biy * (BY * cby), biy * (BY * cby) + (BY * cby - 1)),
-        cchan, bin_parent, bin_capk,
+        l2_in, bin_parent, bin_capk,
         parent_counts=jnp.minimum(col_cnt, col_cap)[bin_parent],
-        interpret=interpret)
+        box_idx=_BOX_IDX, exact_idx=_EXACT_IDX, interpret=interpret)
 
-    # L3: fine tiles from their bin's candidates. Tile rows are
-    # COLUMN-major (t = tix*nty + tiy) so the backward kernel can keep one
-    # column accumulator resident across a column's consecutive grid steps.
+    # L3: fine tiles from their bin's candidates, exact coverage.
     t = nty * nbx
     tix = jnp.arange(t, dtype=jnp.int32) // nty
     tiy = jnp.arange(t, dtype=jnp.int32) % nty
-    bin_of_tile = (tiy // cby) * nbx + tix
+    bin_of_tile = tix * nby_c + tiy // cby
     tx0 = (tix * BX).astype(f32)
     ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
-    tchan, counts = select_kernel.select_values(
+    rec3, counts = select_kernel.select_values(
         (tx0, tx0 + (BX - 1), ty0, ty0 + (BY - 1)),
         bchan, bin_of_tile, capk,
         parent_counts=jnp.minimum(bin_counts, bin_capk)[bin_of_tile],
-        interpret=interpret)
-
-    def to_cap(a):
-        """Slice/pad the (T, capk) channel to exactly (T, cap)."""
-        a = a[:, :cap]
-        if a.shape[1] < cap:
-            a = jnp.pad(a, ((0, 0), (0, cap - a.shape[1])))
-        return a
-
-    tile_pos = to_cap(tchan[4].astype(jnp.int32))
-    tile_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    tile_valid = tile_iota < jnp.minimum(counts, cap)[:, None]
-    tile_pos = jnp.where(tile_valid, tile_pos, 0)
-    return (tile_pos, tile_valid, counts, bin_counts, col_cnt)
+        box_idx=_BOX_IDX, exact_idx=_EXACT_IDX, interpret=interpret)
+    return rec3, counts, bin_counts, col_cnt

@@ -33,7 +33,8 @@ from jax import lax
 from tpu2dgs.core import sh as sh_lib
 from tpu2dgs.core import transforms
 from tpu2dgs.core.cameras import CameraArrays, ndc_to_pix
-from tpu2dgs.raster.common import CUTOFF, MIN_RADIUS, NEAR_CULL
+from tpu2dgs.raster.common import (ALPHA_MIN, CUTOFF, FILTER_INV_SQUARE,
+                                   MIN_RADIUS, NEAR_CULL)
 
 
 class SplatScreen(NamedTuple):
@@ -44,31 +45,43 @@ class SplatScreen(NamedTuple):
     opacity: jnp.ndarray   # (N,) activated opacity
     normal: jnp.ndarray    # (N,3) view-space unit normal, flipped toward camera
     mean2d: jnp.ndarray    # (N,2) projected center (pixel coords)
-    filter_center: jnp.ndarray  # (N,2) conic AABB center, for the low-pass term
+    filter_center: jnp.ndarray  # (N,2) CUTOFF-conic AABB center: the
+                           # low-pass circle center used by rho2d
     depth: jnp.ndarray     # (N,) view-space center depth (sort key); +inf if culled
     radius: jnp.ndarray    # (N,) int32 screen radius in pixels; 0 if culled
-    half_extent: jnp.ndarray  # (N,2) per-axis conic half extents (>= the
-                           # low-pass footprint); binning AABBs — much
-                           # tighter than the square max-radius box for
-                           # anisotropic surfels
+    half_extent: jnp.ndarray  # (N,2) per-axis CUTOFF-conic half extents
+                           # (>= the low-pass footprint): the reference's
+                           # radii contract
+    box_center: jnp.ndarray  # (N,2) binning AABB center — the tight union
+    box_half: jnp.ndarray    # (N,2) of the opacity-adaptive te2-conic box
+                             # and the low-pass circle box (subset of the
+                             # legacy CUTOFF box)
+    te2: jnp.ndarray       # (N,) adaptive conic tau^2 for binning:
+                           # min(CUTOFF^2, 2 ln(opacity/ALPHA_MIN)),
+                           # margin-inflated (coverage test, never blending)
+    fr2: jnp.ndarray       # (N,) low-pass circle radius^2 for binning:
+                           # 2 ln(opacity/ALPHA_MIN) / FILTER_INV_SQUARE
     visible: jnp.ndarray   # (N,) bool
 
 
-def conic_bounds(tmat: jnp.ndarray):
-    """Screen AABB of the projected CUTOFF-sigma disk.
+def conic_bounds(tmat: jnp.ndarray, tau2=None):
+    """Screen AABB of the projected tau-sigma disk (default tau = CUTOFF).
 
     Extremes of the projective map x = (a1·m)/(a3·m) over the homogeneous
-    conic u^2+v^2 = CUTOFF^2 (dual conic D = diag(c^2, c^2, -1)):
+    conic u^2+v^2 = tau^2 (dual conic D = diag(tau^2, tau^2, -1)):
       center = (a1^T D a3) / (a3^T D a3),
       half_extent^2 = center^2 - (a1^T D a1)/(a3^T D a3).
 
+    tau2: () or (N,) conic level; None = CUTOFF^2.
     Returns (center (N,2), half_extent (N,2), valid (N,)).
     """
     a1 = tmat[..., :, 0]
     a2 = tmat[..., :, 1]
     a3 = tmat[..., :, 2]
-    c2 = CUTOFF * CUTOFF
-    d = jnp.array([c2, c2, -1.0], dtype=tmat.dtype)
+    c2 = CUTOFF * CUTOFF if tau2 is None else tau2
+    c2 = jnp.broadcast_to(jnp.asarray(c2, tmat.dtype), tmat.shape[:-2])
+    ones = jnp.ones_like(c2)
+    d = jnp.stack([c2, c2, -ones], axis=-1)
 
     def quad(x, y):
         return jnp.sum(x * d * y, axis=-1)
@@ -142,6 +155,34 @@ def preprocess(
     radius_f = jnp.maximum(jnp.max(half_extent, axis=-1), MIN_RADIUS)
     radius = jnp.ceil(radius_f).astype(jnp.int32)
 
+    # Opacity-adaptive coverage bounds for binning. A pixel blends only if
+    # alpha = opacity*exp(-rho/2) >= ALPHA_MIN, so the conic never matters
+    # past tau_a^2 = 2 ln(opacity/ALPHA_MIN) — usually tighter than the
+    # fixed CUTOFF sigma AABB the reference bins with [RECON]. The binning
+    # box is the union of the te2-conic box and the low-pass circle box
+    # (the circle branch of the hit test: rho2d <= tau_a^2). Both levels
+    # are inflated by a small margin so the f32 coverage test in the
+    # select kernel can only err conservative (false positives blend to
+    # exactly zero; a false negative would change outputs).
+    op_sg = lax.stop_gradient(opacity)
+    tau_a2 = 2.0 * jnp.log(jnp.maximum(op_sg, 1e-12) / ALPHA_MIN)
+    te2 = jnp.clip(tau_a2, 1e-6, CUTOFF * CUTOFF) * 1.001 + 1e-5
+    fr2 = jnp.maximum(tau_a2, 1e-6) / FILTER_INV_SQUARE * 1.001 + 1e-5
+    a_center, a_half, a_ok = conic_bounds(lax.stop_gradient(tmat), te2)
+    fr = jnp.sqrt(fr2)[:, None]
+    legacy_half = jnp.maximum(half_extent, MIN_RADIUS)
+    lo = jnp.where(a_ok[:, None],
+                   jnp.minimum(a_center - a_half, center - fr),
+                   center - legacy_half)
+    hi = jnp.where(a_ok[:, None],
+                   jnp.maximum(a_center + a_half, center + fr),
+                   center + legacy_half)
+    # never wider than the legacy CUTOFF box (it bounds the full hit set)
+    lo = jnp.maximum(lo, center - legacy_half)
+    hi = jnp.minimum(hi, center + legacy_half)
+    box_center = 0.5 * (lo + hi)
+    box_half = 0.5 * (hi - lo)
+
     # Cull splats whose AABB misses the screen entirely.
     on_screen = (
         (center[:, 0] + radius_f >= 0.0)
@@ -180,6 +221,10 @@ def preprocess(
         filter_center=lax.stop_gradient(center),
         depth=depth,
         radius=radius,
-        half_extent=jnp.maximum(half_extent, MIN_RADIUS),
+        half_extent=legacy_half,
+        box_center=box_center,
+        box_half=box_half,
+        te2=te2,
+        fr2=fr2,
         visible=visible,
     )

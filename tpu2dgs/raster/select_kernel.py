@@ -5,13 +5,26 @@ set bits per row" — gather/scatter/sort/top_k all run at ~10-40ms for the
 shapes binning needs (measured on v5e) — so this kernel does the classic
 GPU stream compaction with TPU-native pieces:
 
-  * the candidate axis is walked in 128-lane blocks; the AABB hit test is
-    a handful of VPU compares against the row's rectangle (scalars from
-    SMEM prefetch);
+  * the candidate axis is walked in 128-lane blocks; the hit test is a
+    handful of VPU ops against the row's rectangle (scalars from SMEM
+    prefetch) — either a plain AABB overlap, or (with `exact=True`) the
+    EXACT splat-coverage test: does the splat's response region — the
+    perspective-correct conic {pu^2+pv^2 <= tau^2 pw^2} union its
+    screen-space low-pass circle — intersect the rectangle? The conic test
+    minimizes the quadratic Q(x,y) = pu^2+pv^2-tau^2 pw^2 over the rect
+    (clamped edge critical points + interior stationary point: exact for an
+    ellipse, conservative fallback otherwise). This replaces the CUDA
+    rasterizer's AABB-only tile binning with a tighter test the reference
+    never had (SURVEY.md §2.10: reference bins by screen AABB [RECON]);
   * within a block, hit *ranks* come from a lower-triangular matmul on the
     MXU (the 128-wide inclusive prefix sum), and the hit *positions* are
     compacted through a 0/1 selection matrix — a second tiny matmul. All
     products are small integers, so the bf16-pass MXU is exact;
+  * every candidate CHANNEL is carried through the compaction by the same
+    one-hot products (bf16-exact mantissa-split: see below), so binning
+    levels chain with zero XLA gathers — and with the full record carried,
+    the final level's output IS the per-tile record array consumed by the
+    blend kernels (no (T, cap) row gather at all);
   * compacted values land at the row's running cursor with the classic
     overlapping-write trick, expressed as accumulation into the (at most
     two) 128-aligned output rows the 128 values can span. Output rows are
@@ -24,7 +37,7 @@ binning.first_k_hits bit-for-bit (tests assert equality).
 Levels of the binning hierarchy reuse this one kernel with different
 geometry: screen columns from the global compacted array, coarse bins from
 their column's candidates, fine tiles from their bin's candidates
-(pallas_backend._bin_rect_kernel).
+(pallas_backend._bin_records).
 """
 
 from __future__ import annotations
@@ -40,12 +53,80 @@ from jax.experimental.pallas import tpu as pltpu
 LB = 128  # lane-block width: candidates processed per inner step
 
 
+def _exact_coverage(blocks, exact_idx, rx0, rx1, ry0, ry1):
+    """Splat-coverage test of (8, LB) candidate blocks vs a pixel rect.
+
+    `exact_idx` is a static 13-tuple of channel indices: r0..r8 (the
+    c1/c2/c3 intersection constants: pu = r0 x + r3 y + r6,
+    pv = r1 x + r4 y + r7, pw = r2 x + r5 y + r8), fcx/fcy (low-pass
+    circle center), te2 (conic tau^2, opacity-adaptive, margin-inflated),
+    fr2 (circle radius^2).
+
+    Coverage region = E ∪ K with E = {rho3d <= te2} (as the homogeneous
+    quadratic Q = pu^2+pv^2-te2*pw^2 <= 0) and K = {|p-fc|^2 <= fr2}: a
+    strict superset of the blend kernels' per-pixel hit set, so excluding
+    non-covering candidates leaves outputs AND gradients bit-identical.
+    Q <= 0 over the rect is decided by the minimum over the four clamped
+    edge critical points plus the interior stationary point — exact when
+    the conic is an ellipse (A > 0, C > 0, det > 0); anything else
+    (hyperbolic/degenerate: near edge-on surfels) conservatively passes.
+    """
+    r = [blocks[exact_idx[k]] for k in range(9)]
+    fcx = blocks[exact_idx[9]]
+    fcy = blocks[exact_idx[10]]
+    te2 = blocks[exact_idx[11]]
+    fr2 = blocks[exact_idx[12]]
+
+    # circle vs rect: clamp center into the rect
+    ccx = jnp.clip(fcx, rx0, rx1)
+    ccy = jnp.clip(fcy, ry0, ry1)
+    dx = fcx - ccx
+    dy = fcy - ccy
+    circ = dx * dx + dy * dy <= fr2
+
+    def qval(x, y):
+        pu = r[0] * x + r[3] * y + r[6]
+        pv = r[1] * x + r[4] * y + r[7]
+        pw = r[2] * x + r[5] * y + r[8]
+        return pu * pu + pv * pv - te2 * (pw * pw)
+
+    # quadratic coefficients (derivatives of Q)
+    a = r[0] * r[0] + r[1] * r[1] - te2 * (r[2] * r[2])
+    b = 2.0 * (r[0] * r[3] + r[1] * r[4] - te2 * (r[2] * r[5]))
+    c = r[3] * r[3] + r[4] * r[4] - te2 * (r[5] * r[5])
+    d = 2.0 * (r[0] * r[6] + r[1] * r[7] - te2 * (r[2] * r[8]))
+    e = 2.0 * (r[3] * r[6] + r[4] * r[7] - te2 * (r[5] * r[8]))
+
+    one = jnp.float32(1.0)
+    inv2c = 0.5 / jnp.where(c > 0.0, c, one)
+    inv2a = 0.5 / jnp.where(a > 0.0, a, one)
+    # vertical edges x = rx0 / rx1: y* = -(b x + e) / (2c), clamped
+    y_a = jnp.clip(-(b * rx0 + e) * inv2c, ry0, ry1)
+    y_b = jnp.clip(-(b * rx1 + e) * inv2c, ry0, ry1)
+    # horizontal edges y = ry0 / ry1: x* = -(b y + d) / (2a), clamped
+    x_c = jnp.clip(-(b * ry0 + d) * inv2a, rx0, rx1)
+    x_d = jnp.clip(-(b * ry1 + d) * inv2a, rx0, rx1)
+    best = jnp.minimum(
+        jnp.minimum(qval(rx0, y_a), qval(rx1, y_b)),
+        jnp.minimum(qval(x_c, ry0), qval(x_d, ry1)),
+    )
+    # interior stationary point
+    det = 4.0 * a * c - b * b
+    invdet = one / jnp.where(det > 0.0, det, one)
+    xs = (b * e - 2.0 * c * d) * invdet
+    ys = (b * d - 2.0 * a * e) * invdet
+    interior = (xs >= rx0) & (xs <= rx1) & (ys >= ry0) & (ys <= ry1)
+    best = jnp.where(interior, jnp.minimum(best, qval(xs, ys)), best)
+    # Non-ellipse (hyperbolic/degenerate) conics conservatively pass.
+    # (Boolean algebra, not a where-select: Mosaic rejects i1 selects.)
+    not_ell = (a <= 0.0) | (c <= 0.0) | (det <= 0.0)
+    return (best <= 0.0) | not_ell | circ
+
+
 def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
-                          ry1_ref, *refs, mb: int, cap_rows: int,
-                          n_chan: int, pad_vals: tuple):
-    chan_refs = refs[:n_chan]           # (1, mb, LB) candidate channels
-    out_refs = refs[n_chan:2 * n_chan]  # (1, cap_rows, LB) compacted outputs
-    cnt_ref = refs[2 * n_chan]
+                          ry1_ref, chan_ref, out_ref, cnt_ref, *, mb: int,
+                          cap_rows: int, n_chan: int, pad_vals: tuple,
+                          box_idx: tuple, exact_idx):
     i = pl.program_id(0)
     rx0 = rx0_ref[i]
     rx1 = rx1_ref[i]
@@ -65,7 +146,7 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
         [jnp.full((1, LB), v, f32) for v in pad_vals], axis=0)  # (C, LB)
 
     for c in range(n_chan):
-        out_refs[c][0] = jnp.full((cap_rows, LB), pad_vals[c], f32)
+        out_ref[0, c] = jnp.full((cap_rows, LB), pad_vals[c], f32)
     # Candidate lists are front-packed (never-hit padding past the parent's
     # count), so only ceil(pcnt / (8*LB)) macro blocks can contain hits.
     pcnt = jnp.minimum(pcnt_ref[i], mb * LB)
@@ -75,9 +156,15 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
         """One (8, LB) macro block: hit test once, 8 sub-row compactions."""
         cursor, cur_rows = carry
         b0 = bm * 8
-        blocks = [r[0, pl.ds(b0, 8), :] for r in chan_refs]  # (8, LB) each
-        x0, x1, y0, y1 = blocks[:4]
+        blocks = [chan_ref[0, c, pl.ds(b0, 8), :] for c in range(n_chan)]
+        x0 = blocks[box_idx[0]]
+        x1 = blocks[box_idx[1]]
+        y0 = blocks[box_idx[2]]
+        y1 = blocks[box_idx[3]]
         hit8 = ((x0 <= rx1) & (x1 >= rx0) & (y0 <= ry1) & (y1 >= ry0))
+        if exact_idx is not None:
+            hit8 = hit8 & _exact_coverage(blocks, exact_idx, rx0, rx1,
+                                          ry0, ry1)
         hf8 = hit8.astype(f32)
         # Exact one-hot value selection on the MXU's 1-pass bf16 datapath:
         # split every value into three bf16-exact components (top / middle
@@ -147,7 +234,7 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
                 @pl.when(crossed & (base_row < cap_rows))
                 def _():
                     for c in range(n_chan):
-                        out_refs[c][0, pl.ds(base_row, 1), :] = (
+                        out_ref[0, c, pl.ds(base_row, 1), :] = (
                             cur_rows[c:c + 1, :])
 
                 own_b = lane1 < fmod + fcnt - LB
@@ -172,7 +259,7 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
     @pl.when((total % LB > 0) & (last_row < cap_rows))
     def _():
         for c in range(n_chan):
-            out_refs[c][0, pl.ds(last_row, 1), :] = cur_rows[c:c + 1, :]
+            out_ref[0, c, pl.ds(last_row, 1), :] = cur_rows[c:c + 1, :]
 
     cnt_ref[i, 0] = total  # whole-array SMEM block, row per grid step
 
@@ -182,23 +269,25 @@ BOX_PADS = (1e9, -1e9, 1e9, -1e9)  # never-hit AABB fills for x0, x1, y0, y1
 
 def select_values(row_rects, cand_channels, parent_of_row, cap: int,
                   parent_counts=None, pad_vals=None,
-                  interpret: bool = False):
-    """Stream-compact candidate CHANNELS through per-row overlap tests.
+                  interpret: bool = False, box_idx=(0, 1, 2, 3),
+                  exact_idx: tuple | None = None):
+    """Stream-compact candidate CHANNELS through per-row coverage tests.
 
-    The gather-free form of `select_rows`: instead of returning positions
-    (forcing the caller to gather boxes between binning levels — a
-    pathological XLA TPU op at these shapes), each level's kernel carries
+    The gather-free form of stream compaction: instead of returning
+    positions (forcing the caller to gather values between binning levels —
+    a pathological XLA TPU op at these shapes), each level's kernel carries
     every channel through the compaction itself via exact one-hot MXU
     products, so consecutive levels chain with zero XLA gathers.
 
     Args:
       row_rects: (rx0, rx1, ry0, ry1) each (R,) f32 — row rectangles
         (inclusive pixel bounds).
-      cand_channels: tuple of (NP, M) f32 arrays. The FIRST FOUR must be
-        the candidate AABBs (cx0, cx1, cy0, cy1) used for the hit test;
-        any further channels (e.g. a global-position channel) are carried
-        through unchanged. M is padded internally to a macro-block
-        multiple.
+      cand_channels: either a tuple of (NP, M) f32 arrays, or one stacked
+        (NP, C, M) f32 array (e.g. a previous level's output — zero-copy
+        chaining). Channels `box_idx` must hold the candidate AABBs
+        (cx0, cx1, cy0, cy1) used for the overlap test; all channels are
+        carried through compaction. M is padded internally to a
+        macro-block multiple.
       parent_of_row: (R,) int32 — candidate set used by each row.
       cap: output capacity per row (multiple of 128).
       parent_counts: optional (R,) int32 — number of live candidates at the
@@ -206,23 +295,33 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
         ceil(count / 1024) macro blocks; every candidate past the count
         must be a never-hit box. None = walk all M candidates.
       pad_vals: per-channel fill past each row's output count (default:
-        never-hit box fills + 0.0 for extra channels) — chosen so a level's
-        output tail is directly consumable as the next level's input.
+        0.0 everywhere except never-hit box fills at box_idx) — chosen so a
+        level's output tail is directly consumable as the next level's
+        input.
+      box_idx: indices of the 4 AABB channels used by the overlap test.
+      exact_idx: when set, candidates must ALSO pass the exact splat
+        coverage test (see _exact_coverage) reading the 13 channels this
+        static tuple indexes: r0..r8, fcx, fcy, te2, fr2.
 
-    Returns (channels: tuple of (R, cap) f32 compacted in candidate order,
+    Returns (channels (R, C, cap) f32 compacted in candidate order,
     counts (R,) int32: TOTAL overlaps, which may exceed cap)."""
     rx0, rx1, ry0, ry1 = (a.astype(jnp.float32) for a in row_rects)
     r = rx0.shape[0]
-    n_chan = len(cand_channels)
-    assert n_chan >= 4, "first four channels must be the candidate AABBs"
+    if isinstance(cand_channels, (tuple, list)):
+        stacked = jnp.stack(
+            [a.astype(jnp.float32) for a in cand_channels], axis=1)
+    else:
+        stacked = cand_channels.astype(jnp.float32)
+    np_, n_chan, m_in = stacked.shape
     if pad_vals is None:
-        pad_vals = BOX_PADS + (0.0,) * (n_chan - 4)
+        pad_vals = [0.0] * n_chan
+        for bi, v in zip(box_idx, BOX_PADS):
+            pad_vals[bi] = v
     pad_vals = tuple(float(v) for v in pad_vals)
     assert len(pad_vals) == n_chan
-    m_in = cand_channels[0].shape[1]
-    chans = pad_candidates(cand_channels, -(-m_in // (8 * LB)) * (8 * LB),
-                           pad_vals)
-    np_, m = chans[0].shape
+    stacked = pad_candidates(stacked, -(-m_in // (8 * LB)) * (8 * LB),
+                             pad_vals)
+    m = stacked.shape[-1]
     assert cap % LB == 0, cap
     mb = m // LB
     cap_rows = cap // LB
@@ -231,37 +330,36 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
     else:
         pcnt = parent_counts.astype(jnp.int32)
 
-    box_spec = pl.BlockSpec(
-        (1, mb, LB),
-        lambda i, parent, *_: (parent[i], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(r,),
-        in_specs=[box_spec] * n_chan,
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_chan, mb, LB),
+                lambda i, parent, *_: (parent[i], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         out_specs=[
-            pl.BlockSpec((1, cap_rows, LB), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, n_chan, cap_rows, LB), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] * n_chan + [
             pl.BlockSpec((r, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
-    outs = pl.pallas_call(
+    out, counts = pl.pallas_call(
         functools.partial(_select_values_kernel, mb=mb, cap_rows=cap_rows,
-                          n_chan=n_chan, pad_vals=pad_vals),
+                          n_chan=n_chan, pad_vals=pad_vals, box_idx=box_idx,
+                          exact_idx=exact_idx),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r, cap_rows, LB), jnp.float32)
-        ] * n_chan + [
+            jax.ShapeDtypeStruct((r, n_chan, cap_rows, LB), jnp.float32),
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
     )(parent_of_row.astype(jnp.int32), pcnt, rx0, rx1, ry0, ry1,
-      *[a.astype(jnp.float32).reshape(np_, mb, LB) for a in chans])
-    channels = tuple(o.reshape(r, cap) for o in outs[:n_chan])
-    return channels, outs[n_chan].reshape(r)
+      stacked.reshape(np_, n_chan, mb, LB))
+    return out.reshape(r, n_chan, cap), counts.reshape(r)
 
 
 def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
@@ -277,21 +375,17 @@ def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,
         jnp.arange(m, dtype=jnp.float32)[None, :], (np_, m))
     channels, counts = select_values(
         row_rects, tuple(cand_boxes) + (g,), parent_of_row, cap,
-        parent_counts=parent_counts, interpret=interpret)
-    return channels[4].astype(jnp.int32), counts
+        parent_counts=parent_counts,
+        pad_vals=BOX_PADS + (0.0,), interpret=interpret)
+    return channels[:, 4].astype(jnp.int32), counts
 
 
-def pad_candidates(channels, m_padded: int, pad_vals=None):
-    """Pad (NP, M) candidate channels to M=m_padded (never-hit boxes)."""
-    if pad_vals is None:
-        pad_vals = BOX_PADS + (0.0,) * (len(channels) - 4)
-    pad = m_padded - channels[0].shape[1]
+def pad_candidates(stacked, m_padded: int, pad_vals):
+    """Pad a stacked (NP, C, M) channel array to M=m_padded."""
+    pad = m_padded - stacked.shape[-1]
     if pad <= 0:
-        return tuple(channels)
-    np_ = channels[0].shape[0]
-
-    def p(a, fill):
-        return jnp.concatenate(
-            [a, jnp.full((np_, pad), fill, a.dtype)], axis=1)
-
-    return tuple(p(a, v) for a, v in zip(channels, pad_vals))
+        return stacked
+    np_, c, _ = stacked.shape
+    fills = jnp.broadcast_to(
+        jnp.array(pad_vals, stacked.dtype)[None, :, None], (np_, c, pad))
+    return jnp.concatenate([stacked, fills], axis=-1)

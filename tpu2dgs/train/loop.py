@@ -90,11 +90,6 @@ def make_train_step(
     the chip — gradients are averaged, densification stats accumulate the
     batch-mean screen gradient per splat)."""
 
-    if shard_splats and camera_batch > 1:
-        raise ValueError(
-            "shard_splats with camera_batch > 1 (vmap over shard_map) is "
-            "not supported yet; use camera_batch=1 or shard_mode=rows")
-
     half = jnp.array(
         [settings.width * 0.5, settings.height * 0.5], jnp.float32
     )
@@ -134,10 +129,21 @@ def make_train_step(
             if camera_batch == 1:
                 return per_view_loss(params, offset, model.live, cam, gt, bg,
                                      lam_normal, lam_dist)
-            totals, (radii, ll1, ln, ld, ovf) = jax.vmap(
-                per_view_loss,
-                in_axes=(None, None, None, 0, 0, None, None, None),
-            )(params, offset, model.live, cam, gt, bg, lam_normal, lam_dist)
+            if shard_splats:
+                # vmap cannot batch over a shard_map region; a sequential
+                # lax.map computes the identical per-view terms (mean loss,
+                # max radii) with the splat shards resident throughout.
+                totals, (radii, ll1, ln, ld, ovf) = lax.map(
+                    lambda cg: per_view_loss(
+                        params, offset, model.live, cg[0], cg[1], bg,
+                        lam_normal, lam_dist),
+                    (cam, gt))
+            else:
+                totals, (radii, ll1, ln, ld, ovf) = jax.vmap(
+                    per_view_loss,
+                    in_axes=(None, None, None, 0, 0, None, None, None),
+                )(params, offset, model.live, cam, gt, bg, lam_normal,
+                  lam_dist)
             # max radius over the batch drives visibility/densify stats
             return jnp.mean(totals), (
                 jnp.max(radii, axis=0), jnp.mean(ll1), jnp.mean(ln),
@@ -165,11 +171,12 @@ def make_train_step(
     return step_fn
 
 
-def make_densify_step(cfg: densify_lib.DensifyConfig) -> Callable:
+def make_densify_step(cfg: densify_lib.DensifyConfig,
+                      segments: int = 1) -> Callable:
     @jax.jit
     def densify_fn(model, adam, key, extent, use_size_prune):
         return densify_lib.densify_and_prune(
-            cfg, model, adam, key, extent, use_size_prune
+            cfg, model, adam, key, extent, use_size_prune, segments=segments
         )
 
     return densify_fn
@@ -239,6 +246,13 @@ class Trainer:
         # same axis (gaussian parallelism; pallas backend only).
         self.mesh = mesh
         self.shard_splats = shard_splats
+        if shard_splats and mesh is not None:
+            # Gaussian parallelism is a MEMORY mode: params + Adam state +
+            # densify stats live sharded (1/D per device) from creation on.
+            from tpu2dgs.parallel.sharded import shard_model_state
+
+            self.model, self.adam = shard_model_state(
+                self.model, self.adam, mesh)
         # §5 observability: jax.profiler trace of steps [a, b) when set
         # (view with tensorboard/xprof), and a rolling Mpix/s counter —
         # the BASELINE.md north-star metric — emitted by training itself.
@@ -255,7 +269,10 @@ class Trainer:
             percent_dense=train_cfg.percent_dense,
             opacity_cull=train_cfg.opacity_cull,
         )
-        self._densify_fn = make_densify_step(self.densify_cfg)
+        self._densify_fn = make_densify_step(
+            self.densify_cfg,
+            segments=(mesh.shape["rows"]
+                      if (shard_splats and mesh is not None) else 1))
         self._reset_opacity_fn = jax.jit(densify_lib.reset_opacity)
         self.bg = (
             jnp.ones(3, jnp.float32) if white_background
@@ -368,8 +385,15 @@ class Trainer:
                         jnp.float32(self.scene_extent), use_size,
                     )
                     live = int(info.num_live)
+                    # Children dropped for lack of free slots are capacity
+                    # pressure too: under segment-local compaction (splat
+                    # sharding) a full SEGMENT drops even when the global
+                    # watermark isn't reached (e.g. create_from_pcd packs
+                    # live splats at the front). Growth re-spreads free
+                    # room across segments.
                     if (
-                        live > self.cfg.grow_watermark * self.model.capacity
+                        (live > self.cfg.grow_watermark * self.model.capacity
+                         or int(info.num_dropped) > 0)
                         and self.model.capacity < self.max_capacity
                     ):
                         new_cap = min(
@@ -378,6 +402,14 @@ class Trainer:
                         )
                         self.model, self.adam = grow_with_adam(
                             self.model, self.adam, new_cap)
+                        if self.shard_splats and self.mesh is not None:
+                            from tpu2dgs.parallel.sharded import (
+                                shard_model_state)
+
+                            # Re-place after the end-pad (a one-off
+                            # all-to-all: segment boundaries move).
+                            self.model, self.adam = shard_model_state(
+                                self.model, self.adam, self.mesh)
                 if it % cfg.opacity_reset_interval == 0 or (
                     self.white_background and it == cfg.densify_from_iter
                 ):
