@@ -12,8 +12,11 @@ amortizes the tunnel round-trip to <1ms/iter and stops XLA from
 overlapping or CSE-ing iterations.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -13,6 +13,7 @@ import numpy as np
 from tpu2dgs.core import cameras, sh
 from tpu2dgs.model import splats as splats_lib
 from tpu2dgs.raster.api import RasterSettings, render
+from tpu2dgs.raster.api import render as render_op
 from tpu2dgs.train import losses
 from tpu2dgs.train.loop import TrainConfig, Trainer
 
@@ -147,3 +148,66 @@ def test_camera_batch_training():
     loss0 = trainer.ema_loss
     trainer.train(num_iters=60)
     assert trainer.ema_loss < loss0
+
+
+def test_adaptive_capacity_caps():
+    """A depth pileup trained with under-provisioned caps must heal
+    itself: the Trainer consumes the overflow fractions and raises the
+    affected caps at recompile boundaries until overflow is zero, with the
+    final render matching a generously-capped render (the reference's
+    CUB-sorted per-tile lists never truncate; adaptive growth is this
+    framework's equivalent guarantee)."""
+    import jax
+
+    from tpu2dgs.train import losses
+
+    w = h = 32
+    rng = np.random.default_rng(5)
+    n = 96
+    # a stack of splats piled along the view ray: worst-case tile depth
+    xyz = np.concatenate([
+        rng.normal(0, 0.05, (n, 2)),
+        np.linspace(1.5, 4.0, n)[:, None]], axis=1).astype(np.float32)
+    rgb = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+    gt_model = splats_lib.create_from_pcd(xyz, rgb, capacity=128)
+    cams = [_orbit_camera(i, a, w=w, h=h)
+            for i, a in enumerate(np.linspace(-0.3, 0.3, 3))]
+    p = gt_model.params
+    gen = RasterSettings(width=w, height=h, sh_degree=0, backend="tiled",
+                         bin_capacity=256, tile_capacity=256)
+    for cam in cams:
+        out = render_op(cam.arrays(), gen, p.xyz, jnp.exp(p.scaling),
+                        p.rotation, jax.nn.sigmoid(p.opacity[:, 0]),
+                        splats_lib.features(p), jnp.zeros(3),
+                        live=gt_model.live)
+        cam.image = np.asarray(out["render"])
+
+    model = splats_lib.create_from_pcd(
+        xyz + rng.normal(0, 0.01, xyz.shape).astype(np.float32), rgb,
+        capacity=128)
+    trainer = Trainer(
+        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+        train_cfg=TrainConfig(densify_from_iter=10_000,
+                              normal_from_iter=10_000,
+                              dist_from_iter=10_000,
+                              densification_interval=4),
+        max_sh_degree=0,
+        raster_kwargs=dict(backend="tiled", bin_capacity=16,
+                           tile_capacity=16),  # deliberately under-capped
+    )
+    trainer.train(num_iters=24)
+    assert trainer.cap_growth_events, "caps never grew"
+    assert trainer.raster_kwargs["tile_capacity"] > 16
+    # overflow must have converged to zero under the grown caps
+    out = trainer.render_view(cams[0])
+    assert float(out["tile_overflow_frac"]) == 0.0
+    assert float(out["bin_overflow_frac"]) == 0.0
+    # and the capped render now matches a generously-capped one
+    p = trainer.model.params
+    ref = render_op(cams[0].arrays(), gen, p.xyz, jnp.exp(p.scaling),
+                    p.rotation, jax.nn.sigmoid(p.opacity[:, 0]),
+                    splats_lib.features(p), jnp.zeros(3),
+                    live=trainer.model.live)
+    psnr_db = float(losses.psnr(jnp.clip(out["render"], 0, 1),
+                                jnp.clip(ref["render"], 0, 1)))
+    assert psnr_db >= 60.0, psnr_db

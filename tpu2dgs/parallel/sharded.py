@@ -104,9 +104,11 @@ def rasterize_sharded(
                 splats, settings, bg, interpret=settings.debug,
                 tile_row0=idx * rows_per, nty_local=rows_per,
             )
+            aux = {k: lax.pmax(v, axis) for k, v in allmap.items()
+                   if k.startswith("_aux_")}
             allmap = {k: v for k, v in allmap.items()
                       if not k.startswith("_aux_")}
-            return img, allmap
+            return img, allmap, aux
 
     else:
         rows_per = _strip_rows(
@@ -117,14 +119,18 @@ def rasterize_sharded(
             img, allmap = tiled.rasterize_rows(
                 splats, settings, bg, idx * rows_per, rows_per
             )
-            return img, allmap
+            aux = {k: lax.pmax(v, axis) for k, v in allmap.items()
+                   if k.startswith("_aux_")}
+            allmap = {k: v for k, v in allmap.items()
+                      if not k.startswith("_aux_")}
+            return img, allmap, aux
 
     out_spec = P(axis)
-    img, allmap = jax.shard_map(
+    img, allmap, aux = jax.shard_map(
         strip_fn,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(out_spec, out_spec),
+        out_specs=(out_spec, out_spec, P()),
         # The strip offset derives from axis_index, which makes loop carries
         # "varying" over the mesh axis; skip the varying-manual-axes type
         # check rather than pcast-annotating every scan init in the
@@ -134,6 +140,7 @@ def rasterize_sharded(
 
     img = img[:h, :w]
     allmap = {k: v[:h, :w] for k, v in allmap.items()}
+    allmap.update(aux)  # worst strip's capacity-overflow diagnostics
     return img, allmap
 
 

@@ -146,23 +146,46 @@ def _splat_response(r, px, py):
     return alpha, depthp, hit, G, su, sv, inv, not_clamped, use3d
 
 
-def _read_rec(rec_ref, jj, stride: int):
-    # rec_ref is the FLAT (1, 1, NCH*capk) CHANNEL-MAJOR record block in
-    # SMEM (channel c of list slot j at c*stride + j, exactly the layout
-    # _bin_records emits): per-splat constants are read as true scalars.
-    # Scalar SMEM loads feed VPU broadcast operands directly; a VMEM
-    # row-read + 21 lane extracts cost ~130 cycles/splat in cross-lane
-    # relayouts (measured 368 -> 240 cy/step on v5e when switched to SMEM).
-    return [rec_ref[0, 0, k * stride + jj] for k in range(21)]
+# Record staging granularity: GROUP entries (= GC chunks) per VMEM->SMEM
+# DMA. The per-tile record block rides HBM->VMEM on Pallas' pipelined
+# block fetch (full HBM bandwidth, capk-proportional but cheap); only the
+# CHUNKS ACTUALLY WALKED are staged into SMEM for scalar reads, double
+# buffered so the next group's DMA overlaps the current group's blending.
+# The previous design DMA'd the whole (NCH, capk) block into SMEM per
+# tile: measured ~60 GB/s effective — ~1.1 ms/frame of the forward at
+# capk 2048, 79% of it padding — and made capacity itself expensive,
+# forcing truncation (capk 2048 cut 16% of true entries on the bench
+# pileup). Count-proportional staging decouples fidelity from cost.
+GROUP = 128
+GC = GROUP // CHUNK
 
 
-def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
-                capk: int, unroll: bool):
+def _rec_dma(rec_ref, smem, sem, g, buf):
+    return pltpu.make_async_copy(
+        rec_ref.at[0, :, pl.ds(g * GROUP, GROUP)], smem.at[buf],
+        sem.at[buf])
+
+
+def _read_rec(smem, buf, off):
+    # smem is the (2, NCH, GROUP) staged record buffer: per-splat constants
+    # are read as true scalars. Scalar SMEM loads feed VPU broadcast
+    # operands directly; a VMEM row-read + 21 lane extracts cost ~130
+    # cycles/splat in cross-lane relayouts (measured 368 -> 240 cy/step on
+    # v5e when switched to SMEM).
+    return [smem[buf, k, off] for k in range(21)]
+
+
+def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, smem, sem, *,
+                nty: int, unroll: bool):
     # Grid is COLUMN-major (tile i -> column i//nty, row i%nty) so that the
     # backward kernel's per-column gradient accumulator block stays
     # resident across all of a column's tiles.
     i = pl.program_id(0)
     count = counts_ref[i]
+
+    @pl.when(count > 0)
+    def _():
+        _rec_dma(rec_ref, smem, sem, 0, 0).start()
     x0 = ((i // nty) * BX).astype(jnp.float32)
     y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
@@ -185,12 +208,22 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
 
     def chunk_body(c, state):
         j0 = c * CHUNK
+        g = c // GC
+        buf = g % 2
+
+        @pl.when(c % GC == 0)
+        def _():
+            _rec_dma(rec_ref, smem, sem, g, buf).wait()
+
+        @pl.when((c % GC == 0) & ((g + 1) * GROUP < count))
+        def _():
+            _rec_dma(rec_ref, smem, sem, g + 1, 1 - buf).start()
 
         def splat_body(k, state):
             (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist,
              last) = state
             jj = j0 + k
-            r = _read_rec(rec_ref, jj, capk)
+            r = _read_rec(smem, buf, (c % GC) * CHUNK + k)
             alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
                 r, px, py)
             ok = hit & (alive > 0.0) & (jj < count)
@@ -237,7 +270,15 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
         c, state = carry
         return c + 1, chunk_body(c, state)
 
-    _, state = lax.while_loop(cond, body, (0, state))
+    c_exit, state = lax.while_loop(cond, body, (0, state))
+
+    # Early exit can leave one prefetched group's DMA un-consumed; drain it
+    # (semaphores must be zero at kernel end).
+    gp = (c_exit - 1) // GC + 1
+
+    @pl.when((c_exit > 0) & (gp * GROUP < count))
+    def _():
+        _rec_dma(rec_ref, smem, sem, gp, gp % 2).wait()
 
     (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist, last) = state
     out_ref[0, 0] = r0
@@ -259,7 +300,7 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, *, nty: int,
 
 
 def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
-                dpack_ref, scratch, *, nty: int, capk: int,
+                dpack_ref, scratch, smem, sem, *, nty: int,
                 pack_cap: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
     accumulators, emitting COLUMN-PACKED gradient rows.
@@ -326,14 +367,32 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
         max_last < 0, 0, (max_last // CHUNK) + 1
     )
 
+    @pl.when(start_chunk > 0)
+    def _():
+        g0 = (start_chunk - 1) // GC
+        _rec_dma(rec_ref, smem, sem, g0, g0 % 2).start()
+
     def chunk_body(c, carry):
         j0 = c * CHUNK
+        g = c // GC
+        buf = g % 2
+        # Descending walk: a group's first visit is at its highest chunk
+        # (or the entry chunk); stage it and prefetch the group below.
+        first_visit = (c % GC == GC - 1) | (c == start_chunk - 1)
+
+        @pl.when(first_visit)
+        def _():
+            _rec_dma(rec_ref, smem, sem, g, buf).wait()
+
+        @pl.when(first_visit & (g > 0))
+        def _():
+            _rec_dma(rec_ref, smem, sem, g - 1, 1 - buf).start()
 
         def splat_body(kk, carry):
             k = CHUNK - 1 - kk
             jj = j0 + k
             (T_cur, acc_w, s_w, s_wm, acc_a, med_done, s_wm2) = carry
-            r = _read_rec(rec_ref, jj, capk)
+            r = _read_rec(smem, buf, (c % GC) * CHUNK + k)
             alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
                 r, px, py)
             fj = jj.astype(jnp.float32)
@@ -450,12 +509,13 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             # Compacted-slot target rides in channel 21 (lane 0 only, so
             # the chunk's lane reduction recovers it exactly); zero past
             # `count` so stray rows scatter zeros to slot 0.
-            sl = jnp.where(jj < count, rec_ref[0, 0, 21 * capk + jj], 0.0)
+            sl = jnp.where(jj < count,
+                           smem[buf, 21, (c % GC) * CHUNK + k], 0.0)
             rows[21] = lane0 * sl
             # (Paired (2,BX) stores measured even with singles — the
             # sublane concatenate costs what the saved store gains.)
-            for c, row in rows.items():
-                put(c, row)
+            for comp_i, row in rows.items():
+                put(comp_i, row)
 
             return (t_before, acc_w, s_w, s_wm, acc_a, med_done, s_wm2)
 
@@ -501,27 +561,29 @@ def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
-            # Flat (1, 1, NCH*capk) in SMEM: per-splat scalar reads, no
-            # lane relayouts, and no lane padding of the record axis (the
-            # singleton middle dim satisfies Mosaic's last-two-dims block
-            # rule). The flattened channel-major layout is exactly
-            # _bin_records' output — no gather, transpose, or copy between
-            # binning and blending.
-            pl.BlockSpec((1, 1, nch * capk),
+            # The channel-major record block (exactly _bin_records' output
+            # — no gather, transpose, or copy between binning and
+            # blending) rides the pipelined HBM->VMEM fetch; the kernel
+            # stages only the walked GROUPs into SMEM for scalar reads.
+            pl.BlockSpec((1, nch, capk),
                          lambda i, counts, row0: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, OUT_CH, BY, BX),
                                lambda i, counts, row0: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2, nch, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nty=nty, capk=capk,
+        functools.partial(_fwd_kernel, nty=nty,
                           unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
         interpret=interpret,
-    )(counts, row0, rec3.reshape(t, 1, nch * capk))
+    )(counts, row0, rec3)
 
 
 def _column_offsets(counts, nbx, nty):
@@ -542,8 +604,8 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
         num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, 1, nch * capk), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nch, capk), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, OUT_CH, BY, BX),
                          lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -559,16 +621,19 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
                                lambda i, *_: (i // nty, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK * REC // 128, 128, BX), jnp.float32)],
+            pltpu.VMEM((CHUNK * REC // 128, 128, BX), jnp.float32),
+            pltpu.SMEM((2, nch, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nty=nty, capk=capk,
+        functools.partial(_bwd_kernel, nty=nty,
                           pack_cap=pack_cap, unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (nbx, pack_cap * REC // 128, 128), jnp.float32),
         interpret=interpret,
-    )(counts, row0, off, rec3.reshape(t, 1, nch * capk), out, dout)
+    )(counts, row0, off, rec3, out, dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -726,12 +791,18 @@ def _round128(x: int) -> int:
     return max(128, -(-x // 128) * 128)
 
 
-# Channel map of the record-carrying binning levels: the full REC-channel
-# record first, then the 4 binning-AABB channels. The exact coverage test
-# reads c1/c2/c3 (0:9), filter_center (19:21), te2 (22), fr2 (23).
-NCH = REC + 4
-_BOX_IDX = (REC, REC + 1, REC + 2, REC + 3)
+# Channel map of the record-carrying binning levels: exactly the REC
+# record channels (sublane-8-aligned for the blend kernels' DMA slices; no
+# AABB channels — the exact coverage test subsumes the box overlap, since
+# the te2-conic and the low-pass circle are contained in the binning box).
+# The exact test reads c1/c2/c3 (0:9), filter_center (19:21), te2 (22),
+# fr2 (23). Pad rows are never-hit THROUGH THE EXACT TEST: an ellipse
+# (a=c=1, b=0) centered at -1e9 with te2 < 0, circle at 1e9 with fr2 < 0.
+NCH = REC
 _EXACT_IDX = tuple(range(9)) + (19, 20, 22, 23)
+_REC_PADS = tuple(
+    {0: 1.0, 4: 1.0, 6: 1e9, 7: 1e9, 19: 1e9, 22: -1.0, 23: -1.0}.get(c, 0.0)
+    for c in range(REC))
 
 
 def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
@@ -793,7 +864,12 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
     slot_f = cchan[:, 4]                                  # (nbx, col_cap)
     rec_col = jnp.transpose(rec_sg[slot_f.astype(jnp.int32)], (0, 2, 1))
     rec_col = rec_col.at[:, 21, :].set(slot_f)
-    l2_in = jnp.concatenate([rec_col, cchan[:, 0:4]], axis=1)  # (nbx,NCH,·)
+    # L1 pads gathered record row 0 (slot pad 0 = a live record): overwrite
+    # the tail with never-hit pad rows so L2's exact-only test rejects it.
+    live_col = (jnp.arange(rec_col.shape[2]) < jnp.minimum(
+        col_cnt, col_cap)[:, None])[:, None, :]
+    pads_col = jnp.asarray(_REC_PADS, jnp.float32)[None, :, None]
+    l2_in = jnp.where(live_col, rec_col, pads_col)        # (nbx, NCH, ·)
 
     # L2: coarse bins from their column's candidates, exact coverage.
     nb = nby_c * nbx
@@ -806,7 +882,8 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
          biy * (BY * cby), biy * (BY * cby) + (BY * cby - 1)),
         l2_in, bin_parent, bin_capk,
         parent_counts=jnp.minimum(col_cnt, col_cap)[bin_parent],
-        box_idx=_BOX_IDX, exact_idx=_EXACT_IDX, interpret=interpret)
+        box_idx=None, exact_idx=_EXACT_IDX, pad_vals=_REC_PADS,
+        interpret=interpret)
 
     # L3: fine tiles from their bin's candidates, exact coverage.
     t = nty * nbx
@@ -819,5 +896,6 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
         (tx0, tx0 + (BX - 1), ty0, ty0 + (BY - 1)),
         bchan, bin_of_tile, capk,
         parent_counts=jnp.minimum(bin_counts, bin_capk)[bin_of_tile],
-        box_idx=_BOX_IDX, exact_idx=_EXACT_IDX, interpret=interpret)
+        box_idx=None, exact_idx=_EXACT_IDX, pad_vals=_REC_PADS,
+        interpret=interpret)
     return rec3, counts, bin_counts, col_cnt

@@ -157,14 +157,17 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
         cursor, cur_rows = carry
         b0 = bm * 8
         blocks = [chan_ref[0, c, pl.ds(b0, 8), :] for c in range(n_chan)]
-        x0 = blocks[box_idx[0]]
-        x1 = blocks[box_idx[1]]
-        y0 = blocks[box_idx[2]]
-        y1 = blocks[box_idx[3]]
-        hit8 = ((x0 <= rx1) & (x1 >= rx0) & (y0 <= ry1) & (y1 >= ry0))
+        if box_idx is not None:
+            x0 = blocks[box_idx[0]]
+            x1 = blocks[box_idx[1]]
+            y0 = blocks[box_idx[2]]
+            y1 = blocks[box_idx[3]]
+            hit8 = ((x0 <= rx1) & (x1 >= rx0) & (y0 <= ry1) & (y1 >= ry0))
+        else:
+            hit8 = None  # exact-only hit test (pads must fail it)
         if exact_idx is not None:
-            hit8 = hit8 & _exact_coverage(blocks, exact_idx, rx0, rx1,
-                                          ry0, ry1)
+            exact8 = _exact_coverage(blocks, exact_idx, rx0, rx1, ry0, ry1)
+            hit8 = exact8 if hit8 is None else hit8 & exact8
         hf8 = hit8.astype(f32)
         # Exact one-hot value selection on the MXU's 1-pass bf16 datapath:
         # split every value into three bf16-exact components (top / middle
@@ -298,7 +301,9 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
         0.0 everywhere except never-hit box fills at box_idx) — chosen so a
         level's output tail is directly consumable as the next level's
         input.
-      box_idx: indices of the 4 AABB channels used by the overlap test.
+      box_idx: indices of the 4 AABB channels used by the overlap test, or
+        None to skip the AABB test entirely (exact-only rows: pad_vals must
+        then be never-hit under the exact test).
       exact_idx: when set, candidates must ALSO pass the exact splat
         coverage test (see _exact_coverage) reading the 13 channels this
         static tuple indexes: r0..r8, fcx, fcy, te2, fr2.
@@ -314,6 +319,7 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
         stacked = cand_channels.astype(jnp.float32)
     np_, n_chan, m_in = stacked.shape
     if pad_vals is None:
+        assert box_idx is not None, "exact-only rows need explicit pad_vals"
         pad_vals = [0.0] * n_chan
         for bi, v in zip(box_idx, BOX_PADS):
             pad_vals[bi] = v

@@ -170,6 +170,12 @@ def rasterize_rows(
 
     image = untile(color.reshape(t, p, 3))
     allmap = {k: untile(v.reshape(t, p, *v.shape[2:])) for k, v in maps.items()}
+    # Capacity diagnostics in the pallas backend's _aux_* convention so the
+    # Trainer's adaptive cap growth consumes them from either backend.
+    allmap["_aux_tile_overflow_frac"] = jnp.mean(
+        (counts > tile_cap).astype(jnp.float32))
+    allmap["_aux_bin_overflow_frac"] = jnp.mean(
+        (bin_counts > bin_cap).astype(jnp.float32))
     if not return_aux:
         return image, allmap
     aux = {
@@ -190,7 +196,8 @@ def rasterize_tiled(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         splats, settings, bg_color, 0, nty, return_aux=return_aux
     )
     image, allmap = out[0][:h, : settings.width], out[1]
-    allmap = {k: v[:h, : settings.width] for k, v in allmap.items()}
+    allmap = {k: v if k.startswith("_aux_") else v[:h, : settings.width]
+              for k, v in allmap.items()}
     if return_aux:
         return image, allmap, out[2]
     return image, allmap

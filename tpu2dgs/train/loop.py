@@ -38,6 +38,19 @@ from tpu2dgs.raster.api import RasterSettings, render
 from tpu2dgs.train import losses
 
 
+# Backend capacity-overflow diagnostics (api.render output keys) and the
+# RasterSettings knob each one is healed by (None = no growable knob).
+OVERFLOW_KEYS = ("tile_overflow_frac", "bin_overflow_frac",
+                 "col_overflow_frac", "grad_pack_overflow_frac",
+                 "vis_overflow")
+OVERFLOW_CAP_OF = {
+    "tile_overflow_frac": "tile_capacity",
+    "bin_overflow_frac": "bin_capacity",
+    "col_overflow_frac": "col_capacity",
+    "grad_pack_overflow_frac": "grad_pack_capacity",
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Optimization defaults of record (reference arguments/__init__.py:73-95
@@ -113,8 +126,12 @@ def make_train_step(
             out["rend_normal"], out["surf_normal"])
         ld = losses.distortion_loss(out["rend_dist"])
         total = photo + lam_normal * ln + lam_dist * ld
-        overflow = lax.stop_gradient(
-            out.get("tile_overflow_frac", jnp.float32(0.0)))
+        # Every capacity-overflow diagnostic the backend reports rides the
+        # metrics so the Trainer can close the loop (adaptive cap growth).
+        overflow = {
+            k: lax.stop_gradient(jnp.asarray(out[k], jnp.float32))
+            for k in OVERFLOW_KEYS if k in out
+        }
         return total, (out["radii"], ll1, ln, ld, overflow)
 
     # NOTE: donate_argnums=(0, 1) for the dead model/adam buffers makes the
@@ -147,7 +164,7 @@ def make_train_step(
             # max radius over the batch drives visibility/densify stats
             return jnp.mean(totals), (
                 jnp.max(radii, axis=0), jnp.mean(ll1), jnp.mean(ln),
-                jnp.mean(ld), jnp.mean(ovf),
+                jnp.mean(ld), jax.tree.map(jnp.mean, ovf),
             )
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
@@ -164,7 +181,7 @@ def make_train_step(
         metrics = {
             "loss": loss, "l1": ll1, "normal": ln, "dist": ld,
             "num_visible": jnp.sum(radii > 0),
-            "tile_overflow_frac": overflow,
+            **overflow,
         }
         return model, adam, metrics
 
@@ -223,6 +240,7 @@ class Trainer:
         shard_splats: bool = False,
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (100, 110),
+        max_caps: Optional[dict] = None,
     ):
         self.model = model
         self.max_capacity = max_capacity
@@ -278,6 +296,20 @@ class Trainer:
             jnp.ones(3, jnp.float32) if white_background
             else jnp.zeros(3, jnp.float32)
         )
+        # Adaptive capacity caps: overflow counters the backend reports are
+        # CONSUMED here — any nonzero overflow fraction at a cadence
+        # boundary raises the corresponding cap at the next recompile
+        # boundary (same watermark pattern as splat-capacity growth). The
+        # reference never truncates (CUB sort builds unbounded per-tile
+        # lists, SURVEY.md §2.10); this closes the loop so a scene whose
+        # depth complexity exceeds the configured caps heals itself instead
+        # of silently truncating tails until a human reads the counters.
+        self.max_caps = {
+            "tile_capacity": 16_384, "bin_capacity": 65_536,
+            "col_capacity": 262_144, "grad_pack_capacity": 262_144,
+            **(max_caps or {}),
+        }
+        self.cap_growth_events: list[tuple[int, str, int]] = []
         self.gui = None            # optional viewer.network_gui.NetworkGUI
         self._gui_paused = False   # client sent do_training=False
         self.source_path = ""      # verify string sent to the viewer
@@ -319,6 +351,34 @@ class Trainer:
     def _split_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _current_cap(self, kwarg: str) -> int:
+        val = self.raster_kwargs.get(kwarg)
+        if val is None:
+            val = getattr(RasterSettings, kwarg)  # dataclass field default
+        if kwarg == "grad_pack_capacity" and not val:
+            # 0 = derived default: 16 * lane-rounded tile capacity
+            tc = self._current_cap("tile_capacity")
+            val = 16 * max(128, -(-tc // 128) * 128)
+        return int(val)
+
+    def _maybe_grow_caps(self, it: int, metrics: dict) -> None:
+        """Close the capacity-overflow loop: any nonzero overflow fraction
+        raises its cap 1.5x (lane-rounded) at the next recompile boundary.
+        Device-synced only at cadence boundaries (the caller's)."""
+        changed = False
+        for key, kwarg in OVERFLOW_CAP_OF.items():
+            v = metrics.get(key)
+            if v is None or float(v) <= 0.0:
+                continue
+            cur = self._current_cap(kwarg)
+            new = min(-(-int(cur * 1.5) // 128) * 128, self.max_caps[kwarg])
+            if new > cur:
+                self.raster_kwargs[kwarg] = new
+                self.cap_growth_events.append((it, kwarg, new))
+                changed = True
+        if changed:
+            self._step_fns.clear()  # recompile with the raised caps
 
     # -- the loop ----------------------------------------------------------
 
@@ -372,6 +432,11 @@ class Trainer:
                 self.model, self.adam, cam_arrays, gt, bg,
                 jnp.float32(it), lam_n, lam_d,
             )
+
+            # Adaptive cap growth: consume the overflow counters at the
+            # densification cadence (one host sync per interval).
+            if it % cfg.densification_interval == 0:
+                self._maybe_grow_caps(it, metrics)
 
             # Densify / prune / opacity reset (train.py:126-135).
             if it < cfg.densify_until_iter:
