@@ -40,8 +40,13 @@ def build():
         width=w, height=h, sh_degree=3, backend=backend,
         bin_capacity=int(os.environ.get(
             "BENCH_BIN_CAP", 8192 if backend == "pallas" else 4096)),
+        # 1792 measures 63.4 dB truncation PSNR vs the zero-overflow
+        # config on this worst-case pileup (exact-coverage binning halved
+        # the deep tails: max tile count 2755 vs ~5K in round 2); 2048 =
+        # 69.9 dB at ~4% lower throughput, 1536 = 56 dB (NOT legitimate).
+        # fidelity_check() reports the number next to the headline.
         tile_capacity=int(os.environ.get(
-            "BENCH_TILE_CAP", 2048 if backend == "pallas" else 512)),
+            "BENCH_TILE_CAP", 1792 if backend == "pallas" else 512)),
         # 24576 covers this scene's per-column packed-row sums (~22.7K incl
         # chunk slack) with the _aux_grad_pack_overflow_frac counter
         # guarding the headroom; the generic default (16*cap) is safe but
@@ -84,13 +89,16 @@ def fidelity_check():
     bg = jnp.zeros(3, jnp.float32)
     s_def = RasterSettings(
         width=w, height=h, sh_degree=3, backend="pallas",
-        bin_capacity=8192, tile_capacity=2048)
-    # zero-overflow settings for this scene (verified: all overflow
-    # fractions 0; tile cap 5120 is the SMEM window ceiling)
+        bin_capacity=8192, tile_capacity=int(os.environ.get(
+            "BENCH_TILE_CAP", 1792)),
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 24576)))
+    # zero-overflow settings for this scene (verified on v5e: all four
+    # overflow fractions exactly 0 with these caps; no SMEM ceiling —
+    # records stage per walked chunk group, so capacity costs only HBM)
     s_exact = RasterSettings(
         width=w, height=h, sh_degree=3, backend="pallas",
         bin_capacity=16384, tile_capacity=5120, col_capacity=65536,
-        grad_pack_capacity=32768)
+        grad_pack_capacity=131072)
     o1 = render(cam, s_def, *scene, bg)
     o2 = render(cam, s_exact, *scene, bg)
     psnr = float(losses.psnr(jnp.clip(o1["render"], 0, 1),
@@ -103,12 +111,17 @@ def main():
     grads = step(*scene)
     jax.block_until_ready(grads)
 
+    # Median of 3 windows: the remote-chip link shows +-5% window noise;
+    # a single window occasionally reads 15% low (measured).
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        grads = step(*scene)
-    jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            grads = step(*scene)
+        jax.block_until_ready(grads)
+        times.append((time.perf_counter() - t0) / iters)
+    dt = sorted(times)[1]
 
     mpix_s = pixels / dt / 1e6
     out = {

@@ -1,0 +1,178 @@
+"""Synthetic end-to-end quality gate: CLI train -> render -> metrics ->
+mesh -> Chamfer, with documented thresholds.
+
+The reference's QA strategy is eval-as-integration-test on real datasets
+(SURVEY.md §4: DTU Chamfer 0.74, TnT F1 0.32). This image has no datasets
+and no egress, so this gate reproduces the same PIPELINE on a generated
+scene whose ground-truth surface is known exactly: a textured surfel shell
+(radius ~0.8 sphere with bumps) rendered from an orbit. It writes a
+Blender-format dataset to disk, runs the REAL CLI end to end (train with
+densification, render + bounded TSDF fusion, metrics), and scores
+
+  * novel-view PSNR on the held-out test split (reference metric #1),
+  * Chamfer distance of the fused mesh against the generating shell
+    (reference metric #2, DTU-style bidirectional mean).
+
+Default thresholds (128x128, 24 views, 600 iters, tiled backend):
+PSNR >= 26 dB, Chamfer <= 0.05 world units (shell radius ~0.8) — chosen
+~30% above the numbers this harness produces when healthy, so drift is a
+regression signal, not noise. A future round with real datasets calibrates
+the same harness against the published DTU/TnT tables.
+
+Usage:  python scripts/quality_gate.py [out_dir] [iters] [res]
+Prints one JSON line with the measured numbers and pass/fail.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_shell(n_gt=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0, np.pi, n_gt)
+    phi = rng.uniform(0, 2 * np.pi, n_gt)
+    rr = 0.8 + 0.1 * np.sin(4 * theta) * np.cos(3 * phi)
+    xyz = np.stack([rr * np.sin(theta) * np.cos(phi),
+                    rr * np.cos(theta),
+                    rr * np.sin(theta) * np.sin(phi)], -1).astype(np.float32)
+    rgb = (0.5 + 0.45 * np.stack([np.sin(3 * theta), np.cos(2 * phi),
+                                  np.sin(theta + phi)], -1)).astype(np.float32)
+    scaling = np.full((n_gt, 2), 0.035, np.float32)
+    rotation = rng.normal(size=(n_gt, 4)).astype(np.float32)
+    opacity = rng.uniform(0.75, 0.95, (n_gt,)).astype(np.float32)
+    return xyz, rgb, scaling, rotation, opacity
+
+
+def shell_surface_points(n=20000, seed=3):
+    """Dense exact samples of the generating surface r(theta, phi)."""
+    rng = np.random.default_rng(seed)
+    theta = np.arccos(rng.uniform(-1, 1, n))
+    phi = rng.uniform(0, 2 * np.pi, n)
+    rr = 0.8 + 0.1 * np.sin(4 * theta) * np.cos(3 * phi)
+    return np.stack([rr * np.sin(theta) * np.cos(phi),
+                     rr * np.cos(theta),
+                     rr * np.sin(theta) * np.sin(phi)], -1)
+
+
+def main(out_dir=None, iters=600, res=128):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    import tpu2dgs
+    from tpu2dgs.core import sh as sh_lib
+    from tpu2dgs.cli import metrics as cli_metrics
+    from tpu2dgs.cli import render as cli_render
+    from tpu2dgs.cli import train as cli_train
+    from tpu2dgs.eval import geometry
+    from tpu2dgs.model.splats import read_ply_vertices
+    from tpu2dgs.raster.api import RasterSettings, render as render_op
+
+    tpu2dgs.enable_compilation_cache()
+    tmp = None
+    if out_dir is None:
+        tmp = tempfile.mkdtemp(prefix="qgate_")
+        out_dir = tmp
+    src = os.path.join(out_dir, "scene")
+    out = os.path.join(out_dir, "model")
+    os.makedirs(src, exist_ok=True)
+
+    w = h = res
+    xyz, rgb, scaling, rotation, opacity = make_shell()
+    features = np.zeros((len(xyz), 16, 3), np.float32)
+    features[:, 0] = (rgb - 0.5) / float(sh_lib.C0)
+    gt = (jnp.asarray(xyz), jnp.asarray(scaling), jnp.asarray(rotation),
+          jnp.asarray(opacity), jnp.asarray(features))
+    st = RasterSettings(width=w, height=h, sh_degree=0, backend="tiled",
+                        bin_capacity=1024, tile_capacity=512)
+
+    # Orbit cameras -> Blender-format dataset (train + held-out test).
+    frames = []
+    n_views = 24
+    render_jit = jax.jit(
+        lambda cam: render_op(cam, st, *gt, jnp.zeros(3))["render"])
+    from tpu2dgs.core import cameras as C
+    for i in range(n_views):
+        a = 2 * np.pi * i / n_views
+        el = 0.35 * np.sin(2 * a)
+        fwd_gl = np.array([np.cos(el) * np.sin(a), np.sin(el),
+                           np.cos(el) * np.cos(a)])
+        pos = 2.6 * fwd_gl
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd_gl)
+        right /= np.linalg.norm(right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+            right, np.cross(fwd_gl, right), fwd_gl, pos)
+        gl = c2w.copy()
+        gl[:3, 1:3] *= -1
+        w2c = np.linalg.inv(gl)
+        cam = C.Camera(uid=i, image_name=f"r_{i}", R=w2c[:3, :3].T,
+                       T=w2c[:3, 3], fovx=0.9, fovy=0.9, width=w, height=h)
+        img = np.asarray(render_jit(cam.arrays()))
+        Image.fromarray(
+            (np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+        ).save(os.path.join(src, f"r_{i}.png"))
+        frames.append({"file_path": f"r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    with open(os.path.join(src, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.9, "frames": frames[::2]}, f)
+    with open(os.path.join(src, "transforms_test.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.9, "frames": frames[1::2]}, f)
+
+    # The real pipeline: train (densify ON) -> render + mesh -> metrics.
+    cli_train.main([
+        "-s", src, "-m", out, "--eval", "--iterations", str(iters),
+        "--save_iterations", str(iters), "--test_iterations", str(iters),
+        "--densify_from_iter", "100", "--densify_until_iter",
+        str(int(iters * 0.8)), "--densification_interval", "50",
+        "--opacity_reset_interval", "100000",
+        "--bin_capacity", "1024", "--tile_capacity", "512",
+        "--backend", os.environ.get("QGATE_BACKEND", "tiled"),
+        "--quiet", "--max_capacity", "131072",
+    ])
+    cli_render.main([
+        "-m", out, "--quiet", "--skip_train",
+        "--voxel_size", "0.02", "--sdf_trunc", "0.06", "--depth_trunc", "5.0",
+        "--num_cluster", "1",
+    ])
+    cli_metrics.main(["-m", out, "--no_lpips"])
+
+    with open(os.path.join(out, "results.json")) as f:
+        results = json.load(f)
+    psnr = float(results[f"ours_{iters}"]["PSNR"])
+    ssim = float(results[f"ours_{iters}"]["SSIM"])
+
+    # Chamfer of the fused mesh against the exact generating surface.
+    mesh_path = os.path.join(out, "train", f"ours_{iters}", "fuse_post.ply")
+    vv = read_ply_vertices(mesh_path)
+    verts = np.stack([vv["x"], vv["y"], vv["z"]], -1).astype(np.float64)
+    gt_pts = shell_surface_points()
+    # mesh vertices are dense enough at voxel 0.02; bidirectional mean
+    _, _, chamfer = geometry.chamfer_distance(verts, gt_pts)
+
+    report = {
+        "metric": "synthetic_quality_gate",
+        "psnr_db": round(psnr, 2),
+        "ssim": round(ssim, 4),
+        "chamfer": round(float(chamfer), 4),
+        "mesh_vertices": int(len(verts)),
+        "thresholds": {"psnr_db": 26.0, "chamfer": 0.05},
+        "pass": bool(psnr >= 26.0 and chamfer <= 0.05),
+    }
+    print(json.dumps(report), flush=True)
+    if tmp is not None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return report
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or [None]),
+         *(int(a) for a in sys.argv[2:4]))

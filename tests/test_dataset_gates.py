@@ -92,3 +92,23 @@ def test_dtu_chamfer_gate(tmp_path):
         max_dist=20.0)
     print(f"DTU chamfer: d2s {d2s:.3f} s2d {s2d:.3f} overall {overall:.3f}")
     assert overall < 2.0, overall  # loose 2x gate for the 7K-iter run
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TPU2DGS_QUALITY_GATE"),
+    reason="TPU2DGS_QUALITY_GATE not set (several-minute full-CLI run)")
+def test_synthetic_quality_gate(tmp_path):
+    """The dataset-free end-to-end gate: full CLI train (densify on) ->
+    render -> metrics -> bounded TSDF mesh -> Chamfer against the EXACT
+    generating surface of a synthetic surfel shell. One command
+    (scripts/quality_gate.py) reproduces a quality number a future round
+    with real datasets calibrates against (reference eval-as-QA strategy,
+    SURVEY.md §4)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "scripts"))
+    import quality_gate
+
+    report = quality_gate.main(str(tmp_path), iters=600, res=128)
+    assert report["pass"], report
