@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -46,7 +47,8 @@ def load_estimated_trajectory(path):
 def main(argv=None):
     from tpu2dgs.eval import trajectory as tio
     from tpu2dgs.eval.geometry import (
-        align_icp, downsample_points, fscore, sample_mesh_points,
+        align_icp, downsample_points, fscore, pr_curves,
+        sample_mesh_points,
     )
     from tpu2dgs.mesh.extract import read_mesh_ply
     from tpu2dgs.model.splats import read_ply_vertices
@@ -66,6 +68,10 @@ def main(argv=None):
     parser.add_argument("--map-file", default=None)
     parser.add_argument("--out", default="f1.json")
     parser.add_argument("--n-samples", type=int, default=2_000_000)
+    parser.add_argument("--plot", default=None, metavar="DIR",
+                        help="write the PR_<scene> precision/recall curve "
+                             "plot + histogram (reference plot.py artifact)")
+    parser.add_argument("--scene-name", default="scene")
     args = parser.parse_args(argv)
 
     verts, faces = read_mesh_ply(args.ply_path)
@@ -107,9 +113,44 @@ def main(argv=None):
     precision, recall, f1 = fscore(d_down, g_down, tau)
     print(f"precision {precision:.4f}  recall {recall:.4f}  f1 {f1:.4f} "
           f"(tau {tau})")
+    result = {"precision": precision, "recall": recall, "f1": f1,
+              "tau": tau}
+    if args.plot:
+        edges, cum_p, cum_r = pr_curves(d_down, g_down, tau)
+        result["pr_curves"] = {"edges": edges.tolist(),
+                               "cum_precision": cum_p.tolist(),
+                               "cum_recall": cum_r.tolist()}
+        save_pr_plot(args.plot, args.scene_name, f1, tau, edges, cum_p,
+                     cum_r)
     with open(args.out, "w") as f:
-        json.dump({"precision": precision, "recall": recall, "f1": f1,
-                   "tau": tau}, f, indent=2)
+        json.dump(result, f, indent=2)
+
+
+def save_pr_plot(out_dir, scene, f1, tau, edges, cum_p, cum_r):
+    """The reference's TnT website-toolbox PR artifact: cumulative
+    precision/recall vs distance, F-score in the title, dashed line at
+    tau (plot.py:40-109 behavior; clean-room matplotlib)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(10, 5))
+    ax.plot(edges[1:], cum_p * 100, c="red", lw=2.0, label="precision")
+    ax.plot(edges[1:], cum_r * 100, c="blue", lw=2.0, label="recall")
+    ax.axvline(x=tau, c="black", ls="dashed", lw=2.0)
+    ax.grid(True)
+    ax.set_xlim(0, edges[-1])
+    ax.set_ylim(0, 100)
+    ax.set_xlabel("Meters")
+    ax.set_ylabel("# of points (%)")
+    ax.set_title(f"Precision and Recall: {scene}, {f1 * 100:05.2f} f-score")
+    ax.legend(loc="lower right")
+    name = os.path.join(
+        out_dir, f"PR_{scene}_@d_th_0_{int(tau * 10000):04d}")
+    fig.savefig(name + ".png", bbox_inches="tight")
+    fig.savefig(name + ".pdf", format="pdf", bbox_inches="tight")
+    plt.close(fig)
 
 
 if __name__ == "__main__":

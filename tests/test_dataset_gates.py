@@ -110,5 +110,5 @@ def test_synthetic_quality_gate(tmp_path):
                                     "scripts"))
     import quality_gate
 
-    report = quality_gate.main(str(tmp_path), iters=600, res=128)
+    report = quality_gate.main(str(tmp_path), iters=2000, res=128)
     assert report["pass"], report

@@ -160,3 +160,32 @@ def test_tnt_scene_end_to_end(tmp_path):
     # Sanity: without registration the frames are incomparable.
     p, r, f1_raw = fscore(est_pts, gt_pts, tau)
     assert f1_raw < 0.1, f1_raw
+
+
+def test_pr_curves_and_plot(tmp_path):
+    """pr_curves reproduces fscore's terms at tau and the PR artifact
+    writes (reference plot.py behavior)."""
+    import sys
+
+    from tpu2dgs.eval.geometry import fscore, pr_curves
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0, 1, (2000, 3))
+    data = gt + rng.normal(0, 0.01, gt.shape)
+    tau = 0.02
+    p, r, f1 = fscore(data, gt, tau)
+    edges, cum_p, cum_r = pr_curves(data, gt, tau, stretch=5.0, bins=100)
+    # curves are cumulative and monotone
+    assert np.all(np.diff(cum_p) >= 0) and np.all(np.diff(cum_r) >= 0)
+    # the bin at tau matches fscore's precision/recall (tau = edge 20)
+    i = np.searchsorted(edges[1:], tau)
+    assert abs(cum_p[i] - p) < 0.02 and abs(cum_r[i] - r) < 0.02
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "scripts"))
+    import eval_tnt_scene
+
+    eval_tnt_scene.save_pr_plot(str(tmp_path), "synthetic", f1, tau,
+                                edges, cum_p, cum_r)
+    assert (tmp_path / "PR_synthetic_@d_th_0_0200.png").exists()
+    assert (tmp_path / "PR_synthetic_@d_th_0_0200.pdf").exists()

@@ -101,3 +101,25 @@ def align_icp(source: np.ndarray, target: np.ndarray, iters: int = 20,
         T = step @ T
         src = src @ step[:3, :3].T + step[:3, 3]
     return T
+
+
+def pr_curves(data_pts: np.ndarray, gt_pts: np.ndarray, tau: float,
+              stretch: float = 5.0, bins: int = 100):
+    """Cumulative precision/recall curves over distance thresholds.
+
+    The histogram behind the reference's TnT PR plot artifact
+    (/root/reference/scripts/eval_tnt/plot.py + evaluation.py histograms):
+    cum_precision[i] = fraction of data points within edges[i+1] of GT,
+    cum_recall[i] likewise for GT->data, with edges spanning
+    [0, stretch * tau]. cum_*[at tau] reproduce fscore()'s terms.
+
+    Returns (edges (bins+1,), cum_precision (bins,), cum_recall (bins,)).
+    """
+    t_gt = cKDTree(gt_pts)
+    d2s, _ = t_gt.query(data_pts, k=1)
+    t_d = cKDTree(data_pts)
+    s2d, _ = t_d.query(gt_pts, k=1)
+    edges = np.linspace(0.0, stretch * tau, bins + 1)
+    cum_p = np.array([np.mean(d2s <= e) for e in edges[1:]])
+    cum_r = np.array([np.mean(s2d <= e) for e in edges[1:]])
+    return edges, cum_p, cum_r
