@@ -165,3 +165,32 @@ def test_extractor_end_to_end_bounded():
     lo, hi = gt_xyz.min(0) - 0.5, gt_xyz.max(0) + 0.5
     frac_inside = np.mean(np.all((verts > lo) & (verts < hi), axis=1))
     assert frac_inside > 0.95
+
+
+def test_cull_mesh_visibility():
+    """mesh/cull.py: vertices outside every frustum or occluded beyond eps
+    are culled; observed ones survive; face reindexing is consistent
+    (reference eval_tnt/cull_mesh.py point_masks semantics)."""
+    from tpu2dgs.core.cameras import Camera
+    from tpu2dgs.mesh.cull import cull_mesh
+
+    w = h = 64
+    cam = Camera(uid=0, image_name="c", R=np.eye(3), T=np.zeros(3),
+                 fovx=np.pi / 2, fovy=np.pi / 2, width=w, height=h)
+    # depth map: a wall at z=2 everywhere
+    depth = np.full((1, h, w), 2.0, np.float32)
+    verts = np.array([
+        [0.0, 0.0, 1.0],    # in frustum, in front of the wall -> seen
+        [0.0, 0.0, 1.99],   # just at the wall (within eps) -> seen
+        [0.0, 0.0, 3.0],    # behind the wall -> occluded
+        [10.0, 0.0, 1.0],   # outside the frustum
+        [0.0, 0.0, -1.0],   # behind the camera
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [0, 1, 1], [2, 3, 4]])
+    v2, f2, keep = cull_mesh(verts, faces, [cam], [depth],
+                             eps=0.05, min_views=1)
+    np.testing.assert_array_equal(keep, [True, True, False, False, False])
+    # only the degenerate face with all-seen vertices survives
+    assert len(f2) == 1 and len(v2) == 2
+    np.testing.assert_allclose(v2, verts[:2])
+    np.testing.assert_array_equal(f2, [[0, 1, 1]])

@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--depth_trunc", default=-1.0, type=float)
     parser.add_argument("--sdf_trunc", default=-1.0, type=float)
     parser.add_argument("--num_cluster", default=50, type=int)
+    parser.add_argument("--cull_views", default=0, type=int,
+                        help="cull mesh faces unseen by fewer than N "
+                             "training views (0 = off, the reference "
+                             "mainline's choice)")
+    parser.add_argument("--cull_eps", default=0.01, type=float)
     parser.add_argument("--unbounded", action="store_true")
     parser.add_argument("--mesh_res", default=1024, type=int)
     return parser
@@ -188,6 +193,18 @@ def main(argv=None):
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         write_mesh_ply(out_path, verts, faces, colors)
         print(f"mesh saved at {out_path}")
+        if args.cull_views > 0:
+            # optional visibility culling against the training views'
+            # rendered depths (the reference's TnT cull_mesh, which its
+            # mainline leaves disabled; mesh/cull.py)
+            from tpu2dgs.mesh.cull import cull_mesh
+
+            verts, faces, vkeep = cull_mesh(
+                verts, faces, ex.cameras, ex.depthmaps,
+                eps=args.cull_eps, min_views=args.cull_views)
+            colors = colors[vkeep]
+            print(f"culled to {len(verts)} vertices "
+                  f"({args.cull_views}+ views)")
         verts, faces, colors = post_process_mesh(
             verts, faces, colors, num_cluster=args.num_cluster)
         write_mesh_ply(out_path.replace(".ply", "_post.ply"), verts, faces, colors)

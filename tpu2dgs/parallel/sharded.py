@@ -246,6 +246,8 @@ def rasterize_splat_sharded(
             # a shard with more than k_loc visible splats lost survivors
             "_aux_vis_overflow": (
                 comp.num_visible > k_loc).astype(jnp.float32),
+            "_aux_bin_count_max": jnp.max(bin_counts).astype(jnp.float32),
+            "_aux_col_count_max": jnp.max(col_counts).astype(jnp.float32),
         }
         img, allmap = pb.blend_binned(
             rec_c, rec3, counts, settings, bg, nbx, rows_per,

@@ -722,6 +722,8 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         "_aux_col_overflow_frac": jnp.mean(
             (col_counts > col_cap).astype(jnp.float32)),
         "_aux_vis_overflow": (comp.num_visible > k_vis).astype(jnp.float32),
+        "_aux_bin_count_max": jnp.max(bin_counts).astype(jnp.float32),
+        "_aux_col_count_max": jnp.max(col_counts).astype(jnp.float32),
     }
     return blend_binned(rec_c, rec3, raw_counts, settings, bg_color,
                         nbx, nty, tile_row0, full, interpret, aux)
@@ -782,6 +784,11 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
         # grad_pack_capacity (backward gradients corrupted in the tail)
         "_aux_grad_pack_overflow_frac": jnp.mean(
             (col_tail > pack_cap).astype(jnp.float32)),
+        # true demand maxima: the Trainer's adaptive growth sizes the
+        # raised cap directly from these (ONE recompile, not a 1.5x
+        # doubling ladder of them)
+        "_aux_tile_count_max": jnp.max(raw_counts).astype(jnp.float32),
+        "_aux_grad_pack_max": jnp.max(col_tail).astype(jnp.float32),
         **aux,
     }
     return image, allmap

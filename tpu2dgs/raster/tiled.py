@@ -176,6 +176,8 @@ def rasterize_rows(
         (counts > tile_cap).astype(jnp.float32))
     allmap["_aux_bin_overflow_frac"] = jnp.mean(
         (bin_counts > bin_cap).astype(jnp.float32))
+    allmap["_aux_tile_count_max"] = jnp.max(counts).astype(jnp.float32)
+    allmap["_aux_bin_count_max"] = jnp.max(bin_counts).astype(jnp.float32)
     if not return_aux:
         return image, allmap
     aux = {

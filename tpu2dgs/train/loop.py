@@ -42,12 +42,22 @@ from tpu2dgs.train import losses
 # RasterSettings knob each one is healed by (None = no growable knob).
 OVERFLOW_KEYS = ("tile_overflow_frac", "bin_overflow_frac",
                  "col_overflow_frac", "grad_pack_overflow_frac",
-                 "vis_overflow")
+                 "vis_overflow", "tile_count_max", "bin_count_max",
+                 "col_count_max", "grad_pack_max")
 OVERFLOW_CAP_OF = {
     "tile_overflow_frac": "tile_capacity",
     "bin_overflow_frac": "bin_capacity",
     "col_overflow_frac": "col_capacity",
     "grad_pack_overflow_frac": "grad_pack_capacity",
+}
+# True demand maxima reported by the backend: growth sizes the new cap
+# directly from these, so healing takes ONE recompile instead of a 1.5x
+# ladder of them (each recompile costs minutes cold).
+OVERFLOW_DEMAND_OF = {
+    "tile_overflow_frac": "tile_count_max",
+    "bin_overflow_frac": "bin_count_max",
+    "col_overflow_frac": "col_count_max",
+    "grad_pack_overflow_frac": "grad_pack_max",
 }
 
 
@@ -372,7 +382,14 @@ class Trainer:
             if v is None or float(v) <= 0.0:
                 continue
             cur = self._current_cap(kwarg)
-            new = min(-(-int(cur * 1.5) // 128) * 128, self.max_caps[kwarg])
+            # size directly to the reported demand (+25% headroom for
+            # view-to-view variation); 1.5x fallback when the backend
+            # reports no demand maximum
+            demand = metrics.get(OVERFLOW_DEMAND_OF[key])
+            want = (int(float(demand) * 1.25) if demand is not None
+                    else int(cur * 1.5))
+            new = min(-(-max(want, int(cur * 1.5)) // 128) * 128,
+                      self.max_caps[kwarg])
             if new > cur:
                 self.raster_kwargs[kwarg] = new
                 self.cap_growth_events.append((it, kwarg, new))
