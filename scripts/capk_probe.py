@@ -46,7 +46,6 @@ def main():
             r3 = jnp.pad(rec3, ((0, 0), (0, 0), (0, capk - base_capk)))
         r3 = jax.device_put(r3)
         counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
-        off = pb._column_offsets(counts, nbx, nty)
         walked = int(jnp.sum(-(-counts // pb.CHUNK) * pb.CHUNK))
         print(f"capk={capk} walked_entries={walked}", flush=True)
         chain_timed(f"fwd capk={capk}", lambda r: jnp.sum(
@@ -55,10 +54,11 @@ def main():
         out = jax.jit(lambda r: pb._blend_call(
             r, counts, row0, nty=nty, capk=capk, interpret=False))(r3)
         dout = jnp.ones_like(out)
+        off = jax.jit(pb._packed_offsets)(counts, out)
         chain_timed(f"bwd capk={capk}", lambda r: jnp.sum(
             pb._blend_bwd_call(r, counts, off, row0, out, dout, nty=nty,
                                capk=capk, pack_cap=pack_cap,
-                               interpret=False)[:, :, 0]), (r3,))
+                               interpret=False)[:, 0]), (r3,))
 
 
 if __name__ == "__main__":

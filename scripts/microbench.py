@@ -60,8 +60,7 @@ def main():
     counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
     row0 = jnp.zeros((1,), jnp.int32)
     t = nbx * nty
-    pack_cap = 32768
-    off = pb._column_offsets(counts, nbx, nty)
+    pack_cap = 135168
 
     live = int(jnp.sum(counts))
     print(f"tiles={t} capk={capk} live_entries={live} "
@@ -90,22 +89,25 @@ def main():
     out = jax.jit(lambda r3: pb._blend_call(
         r3, counts, row0, nty=nty, capk=capk, interpret=False))(rec3)
     dout = jnp.ones_like(out)
+    off = jax.jit(pb._packed_offsets)(counts, out)
 
     if want("bwdkernel"):
         chain_timed("bwd kernel only", lambda r3: jnp.sum(
             pb._blend_bwd_call(r3, counts, off, row0, out, dout, nty=nty,
                                capk=capk, pack_cap=pack_cap,
-                               interpret=False)[:, :, 0]), (rec3,))
+                               interpret=False)[:, 0]), (rec3,))
     dpack = jax.jit(lambda r3: pb._blend_bwd_call(
         r3, counts, off, row0, out, dout, nty=nty, capk=capk,
         pack_cap=pack_cap, interpret=False))(rec3)
 
     if want("scatter"):
         def do_scatter(dp):
-            flat = dp.reshape(-1, pb.REC)
-            idx = flat[:, 21].astype(jnp.int32)
-            return jnp.sum(jnp.zeros_like(rec_c).at[idx].add(flat)[:, 0])
-        chain_timed(f"scatter-add ({nbx * pack_cap // 1000}K packed rows)",
+            flat = dp.reshape(-1, pb.OUTREC)
+            idx = flat[:, pb.OUTREC - 1].astype(jnp.int32)
+            dsum = jnp.zeros(
+                (rec_c.shape[0], pb.OUTREC), rec_c.dtype).at[idx].add(flat)
+            return jnp.sum(dsum[:, 0])
+        chain_timed(f"scatter-add ({pack_cap // 1000}K packed rows)",
                     do_scatter, (dpack,))
     if want("prebwd"):
         chain_timed("preprocess+pack bwd", lambda *s: jnp.sum(

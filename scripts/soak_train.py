@@ -88,7 +88,7 @@ def main():
         model, cams, w, h, spatial_lr_scale=1.0, scene_extent=2.6,
         train_cfg=cfg, max_sh_degree=0, seed=0, max_capacity=1 << 20,
         raster_kwargs=dict(backend="pallas", bin_capacity=8192,
-                           tile_capacity=2048, grad_pack_capacity=24576),
+                           tile_capacity=2048, grad_pack_capacity=0),
         log_fn=None,
     )
 

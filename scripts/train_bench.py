@@ -62,7 +62,7 @@ def main():
         model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
         train_cfg=cfg, max_sh_degree=3,
         raster_kwargs=dict(backend="pallas", bin_capacity=8192,
-                           tile_capacity=2048, grad_pack_capacity=24576),
+                           tile_capacity=2048, grad_pack_capacity=0),
         seed=0,
     )
 

@@ -217,6 +217,48 @@ def test_grow_capacity_preserves_state():
     assert np.all(np.asarray(big_model.params.rotation)[8:, 0] == 1.0)
 
 
+def test_grow_capacity_segmented_spreads_free_slots():
+    """Segmented growth (splat sharding) must give EVERY segment free
+    slots: an end-pad leaves previously-full segments full, so dense
+    regions would drop densification children forever (round-3 advisor
+    finding)."""
+    from tpu2dgs.train.loop import grow_with_adam
+
+    s = 4
+    model, n = _toy_model(c=8, n=8)  # every segment of 2 rows is full
+    adam = optim_lib.init_adam(model.params)
+    adam = adam._replace(nu=adam.nu._replace(xyz=jnp.ones_like(adam.nu.xyz)))
+    big_model, big_adam = grow_with_adam(model, adam, 16, segments=s)
+    assert big_model.capacity == 16
+    assert int(big_model.num_live()) == n
+    live = np.asarray(big_model.live).reshape(s, 4)
+    # each new segment: its old 2 live rows first, then 2 free slots
+    assert np.all(live == np.array([True, True, False, False])[None, :])
+    # old rows land contiguously at each segment start, state intact
+    np.testing.assert_allclose(
+        np.asarray(big_model.params.xyz).reshape(s, 4, 3)[:, :2],
+        np.asarray(model.params.xyz).reshape(s, 2, 3),
+    )
+    nu = np.asarray(big_adam.nu.xyz).reshape(s, 4, 3)
+    assert np.all(nu[:, :2] == 1.0) and np.all(nu[:, 2:] == 0.0)
+    # padded rotation rows keep valid quaternions
+    rot = np.asarray(big_model.params.rotation).reshape(s, 4, 4)
+    assert np.all(rot[:, 2:, 0] == 1.0)
+    # and a subsequent segment-local densify can now place children in
+    # every segment: mark all rows hot -> 8 clones need 8 free slots
+    big_model = big_model._replace(
+        grad_accum=big_model.grad_accum.at[:].set(
+            jnp.where(big_model.live, 1.0, 0.0)),
+        denom=jnp.ones_like(big_model.denom),
+    )
+    cfg = densify_lib.DensifyConfig(grad_threshold=0.5, percent_dense=1e9)
+    _, _, info = densify_lib.densify_and_prune(
+        cfg, big_model, big_adam, jax.random.PRNGKey(0), 1.0,
+        use_size_prune=False, segments=s)
+    assert int(info.num_dropped) == 0
+    assert int(info.num_live) == 16
+
+
 def test_native_knn_close_to_exact():
     from tpu2dgs import native
 

@@ -95,6 +95,62 @@ def test_pallas_gradients_match_oracle():
         )
 
 
+def test_pallas_grad_pack_truncation_is_clean():
+    """Global packed-gradient overflow must DROP tails, never corrupt:
+    with pack_cap >= demand the gradients are invariant to pack_cap; with
+    pack_cap < demand the overflow flag is set, gradients stay finite,
+    and no gradient grows (dropped rows only remove contributions)."""
+    w, h = 128, 64
+    cam = _cam(w, h)
+    scene = _random_scene(n=200, seed=31)
+    bg = jnp.zeros(3)
+
+    def grads(pack_cap):
+        # debug=True -> the public API runs the pallas path in interpret
+        # mode and maps the _aux_ diagnostics into the out dict
+        s = _settings(w, h, "pallas", bin_capacity=256, tile_capacity=256,
+                      grad_pack_capacity=pack_cap, debug=True)
+
+        def loss(*args):
+            out = render(cam, s, *args, bg)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["rend_dist"])
+
+        g = jax.grad(loss, argnums=(0, 3))(*scene)
+        out = render(cam, s, *scene, bg)
+        return g, float(out["grad_pack_overflow_frac"]), \
+            float(out["grad_pack_max"])
+
+    g_big, ovf_big, demand = grads(8192)
+    assert ovf_big == 0.0
+    # demand-sized cap: bit-identical gradients (lane-round up)
+    cap_fit = max(128, -(-int(demand) // 128) * 128)
+    g_fit, ovf_fit, demand_fit = grads(cap_fit)
+    assert ovf_fit == 0.0 and demand_fit == demand
+    for a, b in zip(g_big, g_fit):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # under-capacity: flagged, finite, never corrupting other rows
+    cap_small = max(128, (int(demand) // 2) // 128 * 128)
+    g_small, ovf_small, demand_small = grads(cap_small)
+    assert ovf_small == 1.0 and demand_small == demand
+    for a in g_small:
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_effective_counts_respect_early_exit():
+    from tpu2dgs.raster import pallas_backend as pb
+
+    counts = jnp.array([100, 64, 0, 5], jnp.int32)
+    # out channel 12 = last contributor plane per tile
+    out = jnp.full((4, 16, 2, 2), -1.0)
+    out = out.at[0, 12].set(40.0)   # walked 2 chunks of 32
+    out = out.at[1, 12, 0, 0].set(63.0)  # exactly 2 chunks
+    # tile 2: never blended (-1) -> 0 rows; tile 3: no contributor -> 0
+    eff = np.asarray(pb._effective_counts(counts, out))
+    np.testing.assert_array_equal(eff, [64, 64, 0, 0])
+    off = np.asarray(pb._packed_offsets(counts, out))
+    np.testing.assert_array_equal(off, [0, 64, 128, 128])
+
+
 def test_pallas_mean2d_offset_gradient():
     w, h = 128, 16
     cam = _cam(w, h)

@@ -134,20 +134,36 @@ def create_from_pcd(
     return model._replace(params=p, live=model.live.at[:n].set(True))
 
 
-def grow_capacity(model: SplatModel, new_capacity: int) -> SplatModel:
-    """Re-pad every per-splat array (host-side; forces recompilation)."""
+def grow_capacity(model: SplatModel, new_capacity: int,
+                  segments: int = 1) -> SplatModel:
+    """Re-pad every per-splat array (host-side; forces recompilation).
+
+    With `segments` = S > 1 (gaussian parallelism: the capacity axis is
+    sharded into S contiguous blocks and densification compacts children
+    into free slots of their own block, model/densify.py) the new free
+    rows are SPREAD ACROSS the segments — each old segment keeps its rows
+    and gains extra/S free slots at its end. A plain end-pad would leave
+    every previously-full segment full after re-sharding (new segment j
+    would cover two old full segments), so dense regions could never
+    densify again no matter how often capacity doubled."""
     assert new_capacity >= model.capacity
-    extra = new_capacity - model.capacity
+    c = model.capacity
+    extra = new_capacity - c
     if extra == 0:
         return model
+    s = segments
+    assert c % s == 0 and extra % s == 0, (c, new_capacity, s)
 
     def pad(a):
-        widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, widths)
+        seg = a.reshape(s, c // s, *a.shape[1:])
+        widths = [(0, 0), (0, extra // s)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(seg, widths).reshape(new_capacity, *a.shape[1:])
 
     params = SplatParams(*(pad(a) for a in model.params))
+    old = pad(jnp.ones((c,), bool))  # marks pre-existing rows
     params = params._replace(
-        rotation=params.rotation.at[model.capacity :, 0].set(1.0)
+        rotation=params.rotation.at[:, 0].set(
+            jnp.where(old, params.rotation[:, 0], 1.0))
     )
     return SplatModel(
         params=params,

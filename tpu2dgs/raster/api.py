@@ -54,8 +54,11 @@ class RasterSettings:
                                  # K): a shard holding a disproportionate
                                  # share of near splats can drop survivors —
                                  # _aux_vis_overflow flags it
-    grad_pack_capacity: int = 0  # pallas backward: packed gradient rows per
-                                 # tile column (0 = 16 * tile_capacity)
+    grad_pack_capacity: int = 0  # pallas backward: GLOBAL packed gradient
+                                 # rows (0 = 16 * tile_capacity * image
+                                 # tile columns); overflowing tails are
+                                 # dropped, counted by
+                                 # grad_pack_overflow_frac
     chunk: int = 32              # splats composited per vector step
     debug: bool = False          # pallas: interpreter mode ("sanitizer",
                                  # the reference rasterizer's debug flag)

@@ -78,6 +78,13 @@ from tpu2dgs.raster.common import (
 from tpu2dgs.raster.preprocess import SplatScreen
 
 REC = 24
+# Packed gradient-row width (backward): only record channels 0:19 carry
+# gradients (c1,c2,c3,a3,color,normal,opacity); filter_center/te2/fr2 are
+# no-gradient by design and the slot id needs no cotangent. Packing 19 grad
+# channels + the slot (channel 19 of the packed row) instead of all REC=24
+# cuts the backward's lane reductions, packed stores, HBM write traffic and
+# the XLA scatter width by 1/6. CHUNK*OUTREC = 640 = 5 flat 128-lane rows.
+OUTREC = 20
 OUT_CH = 16
 BY = 16   # block pixel rows (BY=8 retested after the SMEM-read fix:
           # 12.4 vs 14.3 Mpix/s — fixed per-entry cost still dominates)
@@ -303,38 +310,48 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
                 dpack_ref, scratch, smem, sem, *, nty: int,
                 pack_cap: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
-    accumulators, emitting COLUMN-PACKED gradient rows.
+    accumulators, emitting GLOBALLY-PACKED gradient rows.
 
-    Each tile stores its gradient rows at its column-local cursor
-    `off_ref[i]` (exclusive prefix sum of CHUNK-aligned counts within the
-    column), so the packed output holds ~live rows instead of the
+    Each tile stores its gradient rows at its global cursor `off_ref[i]`
+    (exclusive prefix sum of the chunk-aligned EFFECTIVE counts — entries
+    up to the tile's last contributor, _effective_counts), so the packed
+    output holds only rows the walk can produce, instead of the
     (T, cap, REC) padded form — the XLA scatter-add outside then processes
     ~4x fewer rows (the padded form measured 15ms/frame at 78% padding).
-    Rows carry their compacted-slot target in channel 21 (the slot iota
-    channel binning carries through the record compaction), so no index
-    array needs to be packed alongside. Chunk stores past `count` write zero rows with
-    slot 0 (a harmless +=0 in the scatter); rows skipped by the early-exit
-    start_chunk stay zero from the column init.
+    One global pack (vs the earlier per-column packs of a shared static
+    capacity) follows the scene's actual row distribution: a hot column
+    no longer overflows while empty columns waste reserved rows. The
+    packed block stays resident in VMEM across the whole grid (the grid
+    is column-major; the block's index map is constant) and flushes once.
+    Rows carry their compacted-slot target in packed channel 19 (the slot
+    iota channel binning carries through the record compaction as record
+    channel 21), so no index array needs to be packed alongside; packed
+    channels 0:19 are the gradients of record channels 0:19. Chunk stores
+    past `count` write zero rows with slot 0 (a harmless +=0 in the
+    scatter). A chunk whose rows would land past pack_cap is DROPPED
+    (clean tail truncation, counted by _aux_grad_pack_overflow_frac) —
+    never clamped onto earlier rows, which would overwrite other tiles'
+    gradients.
 
-    The output is stored FLAT-LANE: a chunk's (CHUNK, REC) rows are
-    CHUNK*REC/128 full 128-lane rows, so the (1, pack_cap*REC//128, 128)
-    block has zero lane padding — a (1, pack_cap, REC) block would be
-    lane-padded 24->128 by the (8,128) tiling (5.3x VMEM/HBM, OOMs scoped
-    vmem at pack_cap 32K). Row-major order is identical, so the reshape to
-    (rows, REC) outside is free of index math.
+    The output is stored FLAT-LANE: a chunk's (CHUNK, OUTREC) rows are
+    CHUNK*OUTREC/128 full 128-lane rows, so the (pack_cap*OUTREC//128,
+    128) block has zero lane padding — a (pack_cap, OUTREC) block would
+    be lane-padded 20->128 by the (8,128) tiling (6.4x VMEM/HBM, OOMs
+    scoped vmem at pack_cap 32K). Row-major order is identical, so the
+    reshape to (rows, OUTREC) outside is free of index math.
 
     NOTE: two in-kernel scatter alternatives were built and measured before
     this design: per-column slot accumulators + a merge kernel (~60
     cycles/entry dynamic-sublane RMW) and the padded XLA scatter-add (~13
-    cycles/row but over ALL padded rows). Column packing keeps the cheap
+    cycles/row but over ALL padded rows). Global packing keeps the cheap
     per-chunk stores AND gives the scatter only live rows."""
     i = pl.program_id(0)
     count = counts_ref[i]
     off = off_ref[i]
 
-    @pl.when(i % nty == 0)
+    @pl.when(i == 0)
     def _():
-        dpack_ref[0] = jnp.zeros(dpack_ref.shape[1:], jnp.float32)
+        dpack_ref[:, :] = jnp.zeros(dpack_ref.shape, jnp.float32)
     x0 = ((i // nty) * BX).astype(jnp.float32)
     y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
@@ -470,12 +487,12 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             w_gated = jnp.where(gate, w, 0.0)
 
             def put(comp, row):
-                # scratch is flat-lane (CHUNK*REC//128, 128, BX): splat k's
-                # component `comp` lives at flat sublane k*REC + comp.
+                # scratch is flat-lane (CHUNK*OUTREC//128, 128, BX): splat
+                # k's component `comp` lives at flat sublane k*OUTREC+comp.
                 # Unrolled (Mosaic): k static -> static store indices (a
                 # dynamic mid-dim sublane store would not lower). Rolled
                 # (interpret): traced k via pl.ds.
-                f = k * REC + comp
+                f = k * OUTREC + comp
                 nr = row.shape[0]
                 if unroll:
                     scratch[f // 128, (f % 128):(f % 128) + nr, :] = row
@@ -506,12 +523,13 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             comps = [3, 4, 5, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18]
             for comp, plane in zip(comps, partials):
                 rows[comp] = jnp.sum(plane, axis=0, keepdims=True)
-            # Compacted-slot target rides in channel 21 (lane 0 only, so
-            # the chunk's lane reduction recovers it exactly); zero past
-            # `count` so stray rows scatter zeros to slot 0.
+            # Compacted-slot target rides in packed channel 19 (record
+            # channel 21; lane 0 only, so the chunk's lane reduction
+            # recovers it exactly); zero past `count` so stray rows
+            # scatter zeros to slot 0.
             sl = jnp.where(jj < count,
                            smem[buf, 21, (c % GC) * CHUNK + k], 0.0)
-            rows[21] = lane0 * sl
+            rows[19] = lane0 * sl
             # (Paired (2,BX) stores measured even with singles — the
             # sublane concatenate costs what the saved store gains.)
             for comp_i, row in rows.items():
@@ -525,14 +543,16 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
                 carry = splat_body(kk, carry)
         else:
             carry = lax.fori_loop(0, CHUNK, splat_body, carry)
-        rows = jnp.sum(scratch[:, :, :], axis=2)  # (CHUNK*REC//128, 128)
-        base = jnp.minimum(off + j0, pack_cap - CHUNK) * REC // 128
-        dpack_ref[0, pl.ds(base, CHUNK * REC // 128), :] = rows
+        rows = jnp.sum(scratch[:, :, :], axis=2)  # (CHUNK*OUTREC//128, 128)
+
+        @pl.when(off + j0 + CHUNK <= pack_cap)
+        def _():
+            base = (off + j0) * OUTREC // 128
+            dpack_ref[pl.ds(base, CHUNK * OUTREC // 128), :] = rows
         return carry
 
-    scratch[:, :, :] = jnp.zeros(
-        scratch.shape, jnp.float32)  # flat rows for channels 19/20/22/23
-    # of every splat stay 0 across the whole kernel
+    # No scratch zero-init: every splat writes all OUTREC of its flat
+    # sublane rows each chunk (20 x CHUNK = the whole buffer).
 
     def cond(carry):
         c, _ = carry
@@ -586,20 +606,28 @@ def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
     )(counts, row0, rec3)
 
 
-def _column_offsets(counts, nbx, nty):
-    """Column-local packed row cursor per tile: exclusive prefix of
-    CHUNK-aligned counts within each tile column (grid/tile order is
-    column-major). Chunk alignment keeps every store's flat-lane offset
-    (off+j0)*REC divisible by 128; the <CHUNK/2 zero rows per tile scatter
-    +=0 to slot 0."""
-    cc = -(-counts.reshape(nbx, nty) // CHUNK) * CHUNK
-    return (jnp.cumsum(cc, axis=1) - cc).reshape(-1).astype(jnp.int32)
+def _effective_counts(counts, out):
+    """Per-tile chunk-aligned EFFECTIVE entry counts: entries past the
+    tile's last contributor (forward early exit, out channel 12) are never
+    walked by the backward, so they reserve no packed gradient rows."""
+    li = jnp.max(out[:, 12], axis=(1, 2)).astype(jnp.int32)  # -1 = none
+    walked = jnp.where(li < 0, 0, (li // CHUNK + 1) * CHUNK)
+    return jnp.minimum(-(-counts // CHUNK) * CHUNK, walked)
+
+
+def _packed_offsets(counts, out):
+    """Global packed row cursor per tile: exclusive prefix of the
+    chunk-aligned effective counts in grid (column-major tile) order.
+    Chunk alignment keeps every store's flat-lane offset (off+j0)*OUTREC
+    divisible by 128; the <CHUNK/2 zero slack rows per tile scatter +=0 to
+    slot 0."""
+    cc = _effective_counts(counts, out)
+    return (jnp.cumsum(cc) - cc).astype(jnp.int32)
 
 
 def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
                     pack_cap, interpret):
     t, nch, _ = rec3.shape
-    nbx = t // nty
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t,),
@@ -613,15 +641,15 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
                          lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # One packed block per tile COLUMN: consecutive grid steps (the
-        # column's tiles, grid is column-major) revisit the same block, so
-        # it stays resident in VMEM across the column and flushes once.
-        # Flat-lane layout (see _bwd_kernel): zero lane padding.
-        out_specs=pl.BlockSpec((1, pack_cap * REC // 128, 128),
-                               lambda i, *_: (i // nty, 0, 0),
+        # ONE global packed block: every grid step maps to it (constant
+        # index map), so it stays resident in VMEM across the whole grid
+        # and flushes once. Flat-lane layout (see _bwd_kernel): zero lane
+        # padding.
+        out_specs=pl.BlockSpec((pack_cap * OUTREC // 128, 128),
+                               lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK * REC // 128, 128, BX), jnp.float32),
+            pltpu.VMEM((CHUNK * OUTREC // 128, 128, BX), jnp.float32),
             pltpu.SMEM((2, nch, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -631,7 +659,7 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
                           pack_cap=pack_cap, unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (nbx, pack_cap * REC // 128, 128), jnp.float32),
+            (pack_cap * OUTREC // 128, 128), jnp.float32),
         interpret=interpret,
     )(counts, row0, off, rec3, out, dout)
 
@@ -667,17 +695,21 @@ def _blend_fwd(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
 
 def _blend_bwd(nbx, nty, capk, pack_cap, interpret, res, dout):
     rec_c, rec3, counts, row0, out = res
-    off = _column_offsets(counts, nbx, nty)
+    off = _packed_offsets(counts, out)
     dpack = _blend_bwd_call(rec3, counts, off, row0, out, dout, nty=nty,
                             capk=capk, pack_cap=pack_cap,
                             interpret=interpret)
-    flat = dpack.reshape(-1, REC)
-    idx = flat[:, 21].astype(jnp.int32)
-    drec_c = jnp.zeros_like(rec_c).at[idx].add(flat)
-    # Channel 21 accumulated slot ids; channels 21-23 of the record are
-    # binning-side constants whose gradient must be zero (21's rows carry
-    # slot ids; 22/23's rows are always zero, masked anyway for clarity).
-    drec_c = drec_c * (jnp.arange(REC) < 21).astype(drec_c.dtype)[None, :]
+    flat = dpack.reshape(-1, OUTREC)
+    idx = flat[:, OUTREC - 1].astype(jnp.int32)
+    # Scatter the full OUTREC rows (slicing `flat` first would copy the
+    # whole packed array); the slot-sum column and the no-gradient record
+    # channels 19:24 are dropped/zeroed on the small (K, REC) side.
+    dsum = jnp.zeros(
+        (rec_c.shape[0], OUTREC), rec_c.dtype).at[idx].add(flat)
+    drec_c = jnp.concatenate(
+        [dsum[:, : OUTREC - 1],
+         jnp.zeros((rec_c.shape[0], REC - (OUTREC - 1)), rec_c.dtype)],
+        axis=1)
     return drec_c, None, None, None
 
 
@@ -705,16 +737,24 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     bin_cap = max(min(settings.bin_capacity, max(n, 1)), cap)
     k_vis = min(settings.vis_capacity or n, n)
 
+    if n >= 1 << 24:
+        # Splat ids ride an f32 channel through binning (exact < 2^24).
+        raise ValueError(f"pallas backend: {n} splats >= 2^24 exceeds the "
+                         "f32 id channel")
     comp = binning.compact_visible(splats, k_vis)
     rec = pack_records(splats)                  # (N, REC) differentiable
-    rec_c = rec[comp.perm]                      # (K, REC) depth-ordered
     n_vis = jnp.minimum(comp.num_visible, k_vis)
 
+    # The binning id channel carries ORIGINAL splat ids (comp.perm), so
+    # the L1 record gather reads `rec` directly and the backward scatter
+    # targets it directly — no depth-ordered rec[perm] copy exists at all
+    # (the gather's transpose alone was a 131K-row scatter-add, ~1.5
+    # ms/frame on the bench; measured round 4).
     col_cap = settings.col_capacity
     rec3, raw_counts, bin_counts, col_counts = _bin_records(
         comp.x0, comp.x1, comp.y0, comp.y1, n_vis,
-        lax.stop_gradient(rec_c), nbx, nty, bin_cap, cap, tile_row0,
-        col_cap=col_cap, interpret=interpret)
+        lax.stop_gradient(rec), nbx, nty, bin_cap, cap, tile_row0,
+        col_cap=col_cap, ids=comp.perm, interpret=interpret)
 
     aux = {
         "_aux_bin_overflow_frac": jnp.mean(
@@ -725,7 +765,7 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
         "_aux_bin_count_max": jnp.max(bin_counts).astype(jnp.float32),
         "_aux_col_count_max": jnp.max(col_counts).astype(jnp.float32),
     }
-    return blend_binned(rec_c, rec3, raw_counts, settings, bg_color,
+    return blend_binned(rec, rec3, raw_counts, settings, bg_color,
                         nbx, nty, tile_row0, full, interpret, aux)
 
 
@@ -734,22 +774,31 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
     """Blend pre-binned, depth-ordered record lists into (image, allmap).
 
     The shared tail of rasterize_pallas and the splat-sharded path
-    (parallel/sharded.py): rec_c (K, REC) depth-compacted differentiable
-    records (the gradient target), rec3 (T, NCH, capk) channel-major
+    (parallel/sharded.py): rec_c — the differentiable record array whose
+    ROWS the binning id channel indexes ((N, REC) unsorted records
+    single-device; (K, REC) merged depth-compacted records when splat
+    sharded) — is the gradient target; rec3 (T, NCH, capk) channel-major
     per-tile record lists from _bin_records (stop-gradient data; slot
-    channel 21 routes gradients back to rec_c), raw_counts (T,) total
-    overlaps. `aux` = extra _aux_* diagnostics merged into allmap."""
+    channel 21 routes gradients back to rec_c rows), raw_counts (T,)
+    total overlaps. `aux` = extra _aux_* diagnostics merged into
+    allmap."""
     w, h = settings.width, settings.height
     t, nch, capk = rec3.shape
     counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
 
-    # Per-column capacity of the backward's packed gradient rows: the sum
-    # of a column's tile counts, plus a chunk-alignment slack per tile.
-    # The upper clamp uses the true worst case — nty tiles at the (already
+    # GLOBAL capacity of the backward's packed gradient rows: the sum of
+    # all tiles' chunk-aligned effective counts (entries past a tile's
+    # last contributor reserve no rows, _effective_counts). The upper
+    # clamp is the true worst case — every tile at the (already
     # CHUNK-aligned) effective capacity capk — so an explicitly adequate
-    # grad_pack_capacity is never reduced below it.
-    pack_cap = settings.grad_pack_capacity or (16 * _round128(capk // 16))
-    pack_cap = min(_round128(pack_cap), _round128(nty * capk))
+    # grad_pack_capacity is never reduced below it. The derived default
+    # is 16 * lane-rounded tile capacity * image tile columns (api.py's
+    # "0 = 16 * tile_capacity * tile columns" contract, mirrored by
+    # Trainer._current_cap): global demand routinely exceeds many
+    # multiples of capk, so anything smaller drops gradient tails for
+    # callers outside the Trainer's adaptive-cap healing loop.
+    pack_cap = settings.grad_pack_capacity or (16 * _round128(capk) * nbx)
+    pack_cap = min(_round128(pack_cap), _round128(t * capk))
 
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
     # int32 bitcast at the custom_vjp boundary: index-like data owes no
@@ -757,15 +806,16 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
     rec3i = lax.bitcast_convert_type(rec3, jnp.int32)
     out = blend_tiles(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
                       interpret)
-    # Max packed write extent per column = sum of its CHUNK-aligned counts
-    # (each tile's span is chunk-aligned; see _column_offsets).
-    col_tail = jnp.sum(-(-counts.reshape(nbx, nty) // CHUNK) * CHUNK, axis=1)
 
     def untile(ch):
         # column-major tile rows: t = tix*nty + tiy
         a = out[:, ch].reshape(nbx, nty, BY, BX)
         a = jnp.transpose(a, (1, 2, 0, 3)).reshape(nty * BY, nbx * BX)
         return a[:h, :w] if full else a
+
+    # Global packed-row demand = sum of all tiles' chunk-aligned effective
+    # counts (exactly what the backward will store; see _packed_offsets).
+    pack_demand = jnp.sum(_effective_counts(counts, out))
 
     t_final = untile(3)
     image = jnp.stack([untile(0), untile(1), untile(2)], axis=-1)
@@ -780,15 +830,15 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
         # fraction of tiles whose overlap set exceeded capacity (tail cut)
         "_aux_tile_overflow_frac": jnp.mean(
             (raw_counts > capk).astype(jnp.float32)),
-        # fraction of tile columns whose packed gradient rows exceeded
-        # grad_pack_capacity (backward gradients corrupted in the tail)
-        "_aux_grad_pack_overflow_frac": jnp.mean(
-            (col_tail > pack_cap).astype(jnp.float32)),
+        # 1.0 when the global packed gradient rows exceed
+        # grad_pack_capacity (backward gradient tails dropped)
+        "_aux_grad_pack_overflow_frac": (
+            pack_demand > pack_cap).astype(jnp.float32),
         # true demand maxima: the Trainer's adaptive growth sizes the
         # raised cap directly from these (ONE recompile, not a 1.5x
         # doubling ladder of them)
         "_aux_tile_count_max": jnp.max(raw_counts).astype(jnp.float32),
-        "_aux_grad_pack_max": jnp.max(col_tail).astype(jnp.float32),
+        "_aux_grad_pack_max": pack_demand.astype(jnp.float32),
         **aux,
     }
     return image, allmap
@@ -813,13 +863,18 @@ _REC_PADS = tuple(
 
 
 def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
-                 tile_row0, col_cap=32768, interpret=False):
+                 tile_row0, col_cap=32768, ids=None, interpret=False):
     """Three-level record-carrying binning: columns -> coarse bins -> tiles.
 
     x0..y1: (K,) screen binning AABBs in DEPTH-ASCENDING order (never-hit
-    boxes past n_vis); rec_sg: (K, REC) stop-gradient records in the same
-    order. Positional order in the depth-compacted space makes every list
-    front-to-back sorted and deterministic.
+    boxes past n_vis); rec_sg: stop-gradient records indexed by the id
+    channel — rows of rec_sg[ids[slot]]. With `ids` (K,) int32 given
+    (single-device path: comp.perm), rec_sg is the UNSORTED (N, REC)
+    record array and no depth-ordered copy of it is ever materialized;
+    with ids=None (splat-sharded path), rec_sg is (K, REC) in box order
+    and ids default to arange(K). Positional order of the boxes in the
+    depth-compacted space makes every list front-to-back sorted and
+    deterministic either way.
 
     Returns (rec3 (T, NCH, capk) f32 channel-major per-tile record lists —
     directly consumable by the blend kernels, NO (T, cap) row gather
@@ -853,8 +908,11 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
 
     # L1: columns over the strip's full y range (AABB-only test: a
     # full-height column strip gains nothing from the exact test). The
-    # global slot index rides as an f32 channel (exact: slots < 2^24).
-    g0 = jnp.arange(x0.shape[0], dtype=f32)[None, :]
+    # record-row id rides as an f32 channel (exact: ids < 2^24).
+    if ids is None:
+        g0 = jnp.arange(x0.shape[0], dtype=f32)[None, :]
+    else:
+        g0 = ids.astype(f32)[None, :]
     y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
     y_hi = y_lo + (nty * BY - 1)
     cix = jnp.arange(nbx, dtype=f32)
@@ -866,7 +924,7 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
 
     # Column record lists: the one gather of the design (pad slots are 0 —
     # a live record — but their never-hit box channels kill them at L2).
-    # Channel 21 is stamped with the compacted slot: the backward scatter
+    # Channel 21 is stamped with the record-row id: the backward scatter
     # target carried to the blend kernels.
     slot_f = cchan[:, 4]                                  # (nbx, col_cap)
     rec_col = jnp.transpose(rec_sg[slot_f.astype(jnp.int32)], (0, 2, 1))
@@ -899,6 +957,11 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
     bin_of_tile = tix * nby_c + tiy // cby
     tx0 = (tix * BX).astype(f32)
     ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
+    # (L3 cannot slim its output to the 22 channels the blend kernels
+    # read: the record-staging DMA slices the (nch, capk) VMEM block along
+    # the channel dim, which Mosaic requires to be sublane-aligned —
+    # multiple of 8 — so 24 is the minimum that fits all 22. Measured as a
+    # Mosaic compile error, round 4.)
     rec3, counts = select_kernel.select_values(
         (tx0, tx0 + (BX - 1), ty0, ty0 + (BY - 1)),
         bchan, bin_of_tile, capk,

@@ -125,8 +125,8 @@ def _exact_coverage(blocks, exact_idx, rx0, rx1, ry0, ry1):
 
 def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
                           ry1_ref, chan_ref, out_ref, cnt_ref, *, mb: int,
-                          cap_rows: int, n_chan: int, pad_vals: tuple,
-                          box_idx: tuple, exact_idx):
+                          cap_rows: int, n_chan: int, n_out: int,
+                          pad_vals: tuple, box_idx: tuple, exact_idx):
     i = pl.program_id(0)
     rx0 = rx0_ref[i]
     rx1 = rx1_ref[i]
@@ -143,9 +143,10 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
     lanes2 = lanes2i.astype(f32)
     lane1 = lax.broadcasted_iota(jnp.int32, (1, LB), 1).astype(f32)
     pads = jnp.concatenate(
-        [jnp.full((1, LB), v, f32) for v in pad_vals], axis=0)  # (C, LB)
+        [jnp.full((1, LB), v, f32) for v in pad_vals[:n_out]],
+        axis=0)  # (n_out, LB)
 
-    for c in range(n_chan):
+    for c in range(n_out):
         out_ref[0, c] = jnp.full((cap_rows, LB), pad_vals[c], f32)
     # Candidate lists are front-packed (never-hit padding past the parent's
     # count), so only ceil(pcnt / (8*LB)) macro blocks can contain hits.
@@ -179,7 +180,7 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
         # Precision.HIGHEST dot this replaces.
         top16 = jnp.uint32(0xFFFF0000)
         his, mids, los = [], [], []
-        for b in blocks:
+        for b in blocks[:n_out]:  # only carried channels need the split
             hi = pltpu.bitcast(pltpu.bitcast(b, jnp.uint32) & top16, f32)
             rem = b - hi
             mid = pltpu.bitcast(
@@ -221,8 +222,8 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
                     v3, sel, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                     precision=lax.Precision.DEFAULT)          # (3C, LB)
-                vals = (vals3[:n_chan] + vals3[n_chan:2 * n_chan]
-                        + vals3[2 * n_chan:])                 # (C, LB)
+                vals = (vals3[:n_out] + vals3[n_out:2 * n_out]
+                        + vals3[2 * n_out:])                  # (n_out, LB)
                 cur_mod = cursor % LB
                 base_row = cursor // LB
                 fmod = cur_mod.astype(f32)
@@ -236,7 +237,7 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
 
                 @pl.when(crossed & (base_row < cap_rows))
                 def _():
-                    for c in range(n_chan):
+                    for c in range(n_out):
                         out_ref[0, c, pl.ds(base_row, 1), :] = (
                             cur_rows[c:c + 1, :])
 
@@ -261,7 +262,7 @@ def _select_values_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
 
     @pl.when((total % LB > 0) & (last_row < cap_rows))
     def _():
-        for c in range(n_chan):
+        for c in range(n_out):
             out_ref[0, c, pl.ds(last_row, 1), :] = cur_rows[c:c + 1, :]
 
     cnt_ref[i, 0] = total  # whole-array SMEM block, row per grid step
@@ -273,7 +274,8 @@ BOX_PADS = (1e9, -1e9, 1e9, -1e9)  # never-hit AABB fills for x0, x1, y0, y1
 def select_values(row_rects, cand_channels, parent_of_row, cap: int,
                   parent_counts=None, pad_vals=None,
                   interpret: bool = False, box_idx=(0, 1, 2, 3),
-                  exact_idx: tuple | None = None):
+                  exact_idx: tuple | None = None,
+                  out_channels: int | None = None):
     """Stream-compact candidate CHANNELS through per-row coverage tests.
 
     The gather-free form of stream compaction: instead of returning
@@ -307,8 +309,11 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
       exact_idx: when set, candidates must ALSO pass the exact splat
         coverage test (see _exact_coverage) reading the 13 channels this
         static tuple indexes: r0..r8, fcx, fcy, te2, fr2.
+      out_channels: carry only the FIRST k channels into the output (the
+        hit tests still read all input channels) — for a final level whose
+        consumers don't need the test-only channels. None = carry all.
 
-    Returns (channels (R, C, cap) f32 compacted in candidate order,
+    Returns (channels (R, C_out, cap) f32 compacted in candidate order,
     counts (R,) int32: TOTAL overlaps, which may exceed cap)."""
     rx0, rx1, ry0, ry1 = (a.astype(jnp.float32) for a in row_rects)
     r = rx0.shape[0]
@@ -335,6 +340,8 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
         pcnt = jnp.full((r,), m, jnp.int32)
     else:
         pcnt = parent_counts.astype(jnp.int32)
+    n_out = n_chan if out_channels is None else int(out_channels)
+    assert 0 < n_out <= n_chan, (n_out, n_chan)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -347,7 +354,7 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_chan, cap_rows, LB), lambda i, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, n_out, cap_rows, LB), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -355,17 +362,17 @@ def select_values(row_rects, cand_channels, parent_of_row, cap: int,
     )
     out, counts = pl.pallas_call(
         functools.partial(_select_values_kernel, mb=mb, cap_rows=cap_rows,
-                          n_chan=n_chan, pad_vals=pad_vals, box_idx=box_idx,
-                          exact_idx=exact_idx),
+                          n_chan=n_chan, n_out=n_out, pad_vals=pad_vals,
+                          box_idx=box_idx, exact_idx=exact_idx),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((r, n_chan, cap_rows, LB), jnp.float32),
+            jax.ShapeDtypeStruct((r, n_out, cap_rows, LB), jnp.float32),
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
     )(parent_of_row.astype(jnp.int32), pcnt, rx0, rx1, ry0, ry1,
       stacked.reshape(np_, n_chan, mb, LB))
-    return out.reshape(r, n_chan, cap), counts.reshape(r)
+    return out.reshape(r, n_out, cap), counts.reshape(r)
 
 
 def select_rows(row_rects, cand_boxes, parent_of_row, cap: int,

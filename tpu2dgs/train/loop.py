@@ -171,10 +171,16 @@ def make_train_step(
                     in_axes=(None, None, None, 0, 0, None, None, None),
                 )(params, offset, model.live, cam, gt, bg, lam_normal,
                   lam_dist)
-            # max radius over the batch drives visibility/densify stats
+            # max radius over the batch drives visibility/densify stats.
+            # Demand maxima (*_count_max / *_pack_max) reduce with MAX over
+            # the view batch — _maybe_grow_caps sizes caps from the WORST
+            # view's demand, not the mean (a mean would rely on the 1.5x
+            # growth floor and take extra recompiles to converge).
+            ovf = {k: (jnp.max(v) if k.endswith("_max") else jnp.mean(v))
+                   for k, v in ovf.items()}
             return jnp.mean(totals), (
                 jnp.max(radii, axis=0), jnp.mean(ll1), jnp.mean(ln),
-                jnp.mean(ld), jax.tree.map(jnp.mean, ovf),
+                jnp.mean(ld), ovf,
             )
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
@@ -209,15 +215,22 @@ def make_densify_step(cfg: densify_lib.DensifyConfig,
     return densify_fn
 
 
-def grow_with_adam(model, adam: optim_lib.AdamState, new_capacity: int):
-    """Capacity growth at a recompile boundary: pad params + Adam moments."""
+def grow_with_adam(model, adam: optim_lib.AdamState, new_capacity: int,
+                   segments: int = 1):
+    """Capacity growth at a recompile boundary: pad params + Adam moments.
+
+    `segments` > 1 (splat sharding) spreads the new free rows across the
+    capacity segments so every shard's segment gains free slots — see
+    splats.grow_capacity."""
     old_cap = model.capacity
-    model = splats_lib.grow_capacity(model, new_capacity)
+    model = splats_lib.grow_capacity(model, new_capacity, segments=segments)
     extra = new_capacity - old_cap
 
     def pad(a):
-        widths = [(0, extra)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, widths)
+        seg = a.reshape(segments, old_cap // segments, *a.shape[1:])
+        widths = ([(0, 0), (0, extra // segments)]
+                  + [(0, 0)] * (a.ndim - 1))
+        return jnp.pad(seg, widths).reshape(new_capacity, *a.shape[1:])
 
     adam = optim_lib.AdamState(
         count=adam.count,
@@ -367,9 +380,13 @@ class Trainer:
         if val is None:
             val = getattr(RasterSettings, kwarg)  # dataclass field default
         if kwarg == "grad_pack_capacity" and not val:
-            # 0 = derived default: 16 * lane-rounded tile capacity
+            # 0 = derived default: 16 * lane-rounded tile capacity * image
+            # tile columns (mirrors pallas_backend.blend_binned; the packed
+            # gradient rows are one GLOBAL array)
+            from tpu2dgs.raster.pallas_backend import BX
+
             tc = self._current_cap("tile_capacity")
-            val = 16 * max(128, -(-tc // 128) * 128)
+            val = 16 * max(128, -(-tc // 128) * 128) * (-(-self.width // BX))
         return int(val)
 
     def _maybe_grow_caps(self, it: int, metrics: dict) -> None:
@@ -471,25 +488,31 @@ class Trainer:
                     # pressure too: under segment-local compaction (splat
                     # sharding) a full SEGMENT drops even when the global
                     # watermark isn't reached (e.g. create_from_pcd packs
-                    # live splats at the front). Growth re-spreads free
-                    # room across segments.
+                    # live splats at the front). Growth pads PER SEGMENT
+                    # (grow_with_adam segments=D) so every shard's segment
+                    # gains free slots — an end-pad would leave previously
+                    # full segments full and dense regions unable to
+                    # densify forever.
                     if (
                         (live > self.cfg.grow_watermark * self.model.capacity
                          or int(info.num_dropped) > 0)
                         and self.model.capacity < self.max_capacity
                     ):
+                        n_seg = (self.mesh.shape["rows"]
+                                 if (self.shard_splats
+                                     and self.mesh is not None) else 1)
                         new_cap = min(
                             splats_lib.round_capacity(2 * self.model.capacity),
                             self.max_capacity,
                         )
                         self.model, self.adam = grow_with_adam(
-                            self.model, self.adam, new_cap)
+                            self.model, self.adam, new_cap, segments=n_seg)
                         if self.shard_splats and self.mesh is not None:
                             from tpu2dgs.parallel.sharded import (
                                 shard_model_state)
 
-                            # Re-place after the end-pad (a one-off
-                            # all-to-all: segment boundaries move).
+                            # Re-place after the segmented pad (local: old
+                            # segment j's rows stay inside new segment j).
                             self.model, self.adam = shard_model_state(
                                 self.model, self.adam, self.mesh)
                 if it % cfg.opacity_reset_interval == 0 or (
