@@ -167,3 +167,46 @@ def test_exact_coverage_no_false_negatives():
     assert hits > 50, "test scene too sparse to be meaningful"
     assert covered < aabb_pairs, (
         "coverage test never pruned an AABB pair — not effective")
+
+def test_pack_interval_hit_set_exact():
+    """Packed box bounds must reproduce EXACTLY the original hit sets
+    against integer-cornered rectangles (the binning invariant), including
+    empty +-1e9 culled markers and far-out-of-range bounds."""
+    rng = np.random.default_rng(7)
+    lo = jnp.asarray(
+        np.concatenate([rng.uniform(-3000, 3000, 4096),
+                        [0.0, -0.5, 1e-6, 799.99, 1e9, -1e9],
+                        np.arange(120, 136, 0.25)]), jnp.float32)
+    hi = lo + jnp.asarray(
+        np.concatenate([rng.uniform(0, 200, 4096),
+                        [0.0, 1.0, 2e-6, 0.01, -2e9, 2e9],
+                        np.full(64, 37.75)]), jnp.float32)
+    l2, h2 = binning.unpack_interval(binning.pack_interval(lo, hi))
+    lo_np, hi_np = np.asarray(lo), np.asarray(hi)
+    l2, h2 = np.asarray(l2), np.asarray(h2)
+    # inward rounding: the packed interval is contained, < 1px tighter
+    small = np.abs(lo_np) < 32000
+    assert np.all(l2[small] >= lo_np[small])
+    assert np.all(l2[small] < lo_np[small] + 1.0 + 1e-4)
+    small = np.abs(hi_np) < 32000
+    assert np.all(h2[small] <= hi_np[small])
+    assert np.all(h2[small] > hi_np[small] - 1.0 - 1e-4)
+    # hit-set equality against integer rectangles (tiles at 128px/16px)
+    for edges in (np.arange(0, 801, 128), np.arange(0, 801, 16)):
+        b0 = edges[:-1].astype(np.float32)
+        b1 = (edges[1:] - 1).astype(np.float32)
+        ref = (lo_np[:, None] <= b1[None]) & (hi_np[:, None] >= b0[None])
+        got = (l2[:, None] <= b1[None]) & (h2[:, None] >= b0[None])
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_pack_interval_idempotent():
+    """Re-packing unpacked values is lossless (the cross-device survivor
+    merge re-packs compact_visible's already-quantized boxes)."""
+    rng = np.random.default_rng(8)
+    lo = jnp.asarray(rng.uniform(-2000, 2000, 2048), jnp.float32)
+    hi = lo + jnp.asarray(rng.uniform(0, 300, 2048), jnp.float32)
+    l1, h1 = binning.unpack_interval(binning.pack_interval(lo, hi))
+    l2, h2 = binning.unpack_interval(binning.pack_interval(l1, h1))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))

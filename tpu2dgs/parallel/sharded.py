@@ -225,10 +225,17 @@ def rasterize_splat_sharded(
 
         rec_g = ag(rec_loc)                            # (K, REC)
         slot = jnp.arange(rec_g.shape[0], dtype=jnp.int32)
-        _, _, sx0, sx1, sy0, sy1, sslot = lax.sort(
-            (ag(comp.depth), ag(gid), ag(comp.x0), ag(comp.x1),
-             ag(comp.y0), ag(comp.y1), slot),
+        # Box bounds ride the merge as packed-int32 payloads (LOSSLESS:
+        # compact_visible already returns integer-valued boxes and
+        # pack_interval is idempotent on them) — 5 sort operands
+        # instead of 7.
+        px = binning.pack_interval(comp.x0, comp.x1)
+        py = binning.pack_interval(comp.y0, comp.y1)
+        _, _, spx, spy, sslot = lax.sort(
+            (ag(comp.depth), ag(gid), ag(px), ag(py), slot),
             dimension=0, is_stable=True, num_keys=2)
+        sx0, sx1 = binning.unpack_interval(spx)
+        sy0, sy1 = binning.unpack_interval(spy)
         rec_c = rec_g[sslot]                           # global depth order
 
         n_vis = lax.psum(jnp.minimum(comp.num_visible, k_loc), axis)

@@ -52,32 +52,64 @@ class Compacted(NamedTuple):
                               # the cross-device merge key (parallel/sharded)
 
 
+def pack_interval(lo, hi) -> jnp.ndarray:
+    """Pack a screen [lo, hi] f32 interval into ONE int32 as a pair of
+    outward-rounded integer pixel bounds.
+
+    Every binning rectangle (tile/bin/column, both backends) has INTEGER
+    pixel corners, so for integer b:  lo <= b  <=>  ceil(lo) <= b  and
+    hi >= b  <=>  floor(hi) >= b — INWARD integer rounding reproduces the
+    original hit sets EXACTLY (no inflation, no lost hits), while halving
+    the sort payload (two box channels per axis -> one int32). Bounds are
+    clipped to +-32767: every rectangle lives in [0, dim], so a clipped
+    bound tests identically, and empty lo>hi intervals (the +-1e9 culled
+    markers) stay empty. Idempotent on already-packed-and-unpacked values
+    (they are integers), which is what the cross-device survivor merge
+    relies on when it re-packs compact_visible's boxes."""
+    loq = jnp.clip(jnp.ceil(lo), -32767.0, 32767.0).astype(jnp.int32)
+    hiq = jnp.clip(jnp.floor(hi), -32767.0, 32767.0).astype(jnp.int32)
+    u = (((loq + 32768).astype(jnp.uint32) << 16)
+         | (hiq + 32768).astype(jnp.uint32))
+    return lax.bitcast_convert_type(u, jnp.int32)
+
+
+def unpack_interval(p: jnp.ndarray):
+    """Inverse of pack_interval: int32 -> (lo, hi) f32 (integer-valued)."""
+    u = lax.bitcast_convert_type(p, jnp.uint32)
+    lo = (u >> 16).astype(jnp.int32) - 32768
+    hi = (u & 0xFFFF).astype(jnp.int32) - 32768
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
 def compact_visible(splats: SplatScreen, k: int) -> Compacted:
     """Stable depth sort -> first-k visible prefix (ties broken by id).
 
     One multi-operand `lax.sort` carries the screen-AABB channels through
     the permutation, replacing argsort + four 131K-element XLA gathers
-    (measured ~2.8ms of pure gather overhead on v5e)."""
+    (measured ~2.8ms of pure gather overhead on v5e). The four box bounds
+    ride as TWO packed int32 payloads (outward-rounded integer pixels —
+    hit-set-exact against the integer binning rectangles, see
+    pack_interval), cutting the sort payload from 6 to 4 operands
+    (compact_visible 3.28 -> 2.67 ms/iter raw on v5e)."""
     depth = lax.stop_gradient(splats.depth)  # +inf where culled
     n = depth.shape[0]
     c = lax.stop_gradient(splats.box_center)
     e = lax.stop_gradient(splats.box_half)
     iota = jnp.arange(n, dtype=jnp.int32)
-    sdepth, order, scx, scy, sex, sey = lax.sort(
-        (depth, iota, c[:, 0], c[:, 1], e[:, 0], e[:, 1]), dimension=0,
-        is_stable=True, num_keys=1)
+    px = pack_interval(c[:, 0] - e[:, 0], c[:, 0] + e[:, 0])
+    py = pack_interval(c[:, 1] - e[:, 1], c[:, 1] + e[:, 1])
+    sdepth, order, spx, spy = lax.sort(
+        (depth, iota, px, py), dimension=0, is_stable=True, num_keys=1)
     perm = order[:k].astype(jnp.int32)
     num_visible = jnp.sum(splats.visible, dtype=jnp.int32)
     valid = jnp.arange(k, dtype=jnp.int32) < num_visible
 
-    cx = scx[:k]
-    cy = scy[:k]
-    ex = sex[:k]
-    ey = sey[:k]
-    x0 = jnp.where(valid, cx - ex, 1e9)
-    x1 = jnp.where(valid, cx + ex, -1e9)
-    y0 = jnp.where(valid, cy - ey, 1e9)
-    y1 = jnp.where(valid, cy + ey, -1e9)
+    lox, hix = unpack_interval(spx[:k])
+    loy, hiy = unpack_interval(spy[:k])
+    x0 = jnp.where(valid, lox, 1e9)
+    x1 = jnp.where(valid, hix, -1e9)
+    y0 = jnp.where(valid, loy, 1e9)
+    y1 = jnp.where(valid, hiy, -1e9)
     dep = jnp.where(valid, sdepth[:k], jnp.inf)
     return Compacted(perm, valid, num_visible, x0, x1, y0, y1, dep)
 
