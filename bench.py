@@ -48,11 +48,11 @@ def build():
         tile_capacity=int(os.environ.get(
             "BENCH_TILE_CAP", 1792 if backend == "pallas" else 512)),
         # GLOBAL packed gradient rows: this scene's measured demand (sum of
-        # chunk-aligned effective tile counts) is 132128, so 135168 keeps
+        # GROUP-aligned effective tile counts) is 136064, so 136192 keeps
         # grad_pack_overflow at exactly 0 — no gradient tails dropped —
-        # while the scatter processes ~22% fewer rows than the generic
+        # while the scatter processes ~40% fewer rows than the generic
         # default (16 * cap * tile columns).
-        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 135168)),
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 136192)),
         vis_capacity=int(os.environ.get("BENCH_VIS_CAP", 0)),
         col_capacity=int(os.environ.get("BENCH_COL_CAP", 32768)),
     )
@@ -92,7 +92,7 @@ def fidelity_check():
         width=w, height=h, sh_degree=3, backend="pallas",
         bin_capacity=8192, tile_capacity=int(os.environ.get(
             "BENCH_TILE_CAP", 1792)),
-        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 135168)))
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 136192)))
     # zero-overflow settings for this scene (verified on v5e: all four
     # overflow fractions exactly 0 with these caps; no SMEM ceiling —
     # records stage per walked chunk group, so capacity costs only HBM)

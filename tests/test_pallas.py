@@ -139,16 +139,18 @@ def test_pallas_grad_pack_truncation_is_clean():
 def test_effective_counts_respect_early_exit():
     from tpu2dgs.raster import pallas_backend as pb
 
-    counts = jnp.array([100, 64, 0, 5], jnp.int32)
+    counts = jnp.array([300, 64, 0, 5], jnp.int32)
     # out channel 12 = last contributor plane per tile
     out = jnp.full((4, 16, 2, 2), -1.0)
-    out = out.at[0, 12].set(40.0)   # walked 2 chunks of 32
-    out = out.at[1, 12, 0, 0].set(63.0)  # exactly 2 chunks
+    out = out.at[0, 12].set(130.0)  # walked into the 2nd GROUP of 128
+    out = out.at[1, 12, 0, 0].set(63.0)  # within the 1st GROUP
     # tile 2: never blended (-1) -> 0 rows; tile 3: no contributor -> 0
+    # (effective counts are GROUP=128-aligned: the backward DMAs whole
+    # 128-entry groups into the packed array)
     eff = np.asarray(pb._effective_counts(counts, out))
-    np.testing.assert_array_equal(eff, [64, 64, 0, 0])
+    np.testing.assert_array_equal(eff, [256, 128, 0, 0])
     off = np.asarray(pb._packed_offsets(counts, out))
-    np.testing.assert_array_equal(off, [0, 64, 128, 128])
+    np.testing.assert_array_equal(off, [0, 256, 384, 384])
 
 
 def test_pallas_mean2d_offset_gradient():

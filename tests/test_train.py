@@ -211,3 +211,81 @@ def test_adaptive_capacity_caps():
     psnr_db = float(losses.psnr(jnp.clip(out["render"], 0, 1),
                                 jnp.clip(ref["render"], 0, 1)))
     assert psnr_db >= 60.0, psnr_db
+
+
+def test_camera_batch_demand_maxima_reduce_with_max():
+    """With camera_batch > 1 the *_count_max demand metrics must be the
+    MAX over the view batch, not the mean — the adaptive cap growth sizes
+    caps from the worst view (round-3 advisor finding). Overflow fractions
+    stay mean-reduced."""
+    from tpu2dgs.model import optim as optim_lib
+    from tpu2dgs.train.loop import make_train_step
+
+    w = h = 32
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=24, seed=11)
+    # view 0 sees the cluster; view 1 is panned so the cluster is entirely
+    # off-screen — per-view tile_count_max demand differs (24 vs 0).
+    near = _orbit_camera(0, 0.0, radius=1.2, w=w, h=h)
+    far = cameras.Camera(
+        uid=1, image_name="v1", R=near.R,
+        T=near.T + np.array([10.0, 0.0, 0.0]),  # pan: cluster off-screen
+        fovx=near.fovx, fovy=near.fovy, width=w, height=h)
+    settings = RasterSettings(width=w, height=h, sh_degree=0,
+                              backend="tiled", bin_capacity=32,
+                              tile_capacity=8)
+    bg = jnp.zeros(3)
+    gt = jnp.zeros((3, h, w), jnp.float32)
+    model = splats_lib.create_from_pcd(gt_xyz, gt_rgb, capacity=32)
+    adam = optim_lib.init_adam(model.params)
+
+    def run(cams_arr, gts, batch):
+        step = make_train_step(settings, optim_lib.OptimConfig(),
+                               lambda_dssim=0.2, spatial_lr_scale=1.0,
+                               camera_batch=batch)
+        _, _, metrics = step(model, adam, cams_arr, gts,
+                             bg, jnp.float32(1.0), jnp.float32(0.0),
+                             jnp.float32(0.0))
+        return metrics
+
+    m_near = run(near.arrays(), gt, 1)
+    m_far = run(far.arrays(), gt, 1)
+    cam_b = jax.tree.map(lambda *a: jnp.stack(a),
+                         near.arrays(), far.arrays())
+    m_b = run(cam_b, jnp.stack([gt, gt]), 2)
+
+    per_view = [float(m_near["tile_count_max"]),
+                float(m_far["tile_count_max"])]
+    assert per_view[0] != per_view[1], per_view  # the views must differ
+    assert float(m_b["tile_count_max"]) == max(per_view), (
+        float(m_b["tile_count_max"]), per_view)
+    # fractions are means over the batch
+    fr = [float(m_near["tile_overflow_frac"]),
+          float(m_far["tile_overflow_frac"])]
+    np.testing.assert_allclose(float(m_b["tile_overflow_frac"]),
+                               np.mean(fr), rtol=1e-6)
+
+
+def test_trainer_grad_pack_default_matches_backend():
+    """Trainer._current_cap's derived grad_pack default must mirror
+    pallas_backend.blend_binned's (round-3 advisor HIGH finding: a
+    mismatch silently corrupts gradients between recompiles)."""
+    from tpu2dgs.raster import pallas_backend as pb
+
+    w = h = 160
+    gt_splats, gt_xyz, gt_rgb = _gt_scene(n=12, seed=3)
+    cams = [_orbit_camera(0, 0.0, w=w, h=h)]
+    cams[0].image = np.zeros((3, h, w), np.float32)
+    model = splats_lib.create_from_pcd(gt_xyz, gt_rgb, capacity=32)
+    tc = 192
+    trainer = Trainer(
+        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+        raster_kwargs=dict(backend="pallas", tile_capacity=tc),
+        max_sh_degree=0,
+    )
+    capk = pb._round128(min(tc, 32))  # backend clamps cap to n, rounds 128
+    nbx = -(-w // pb.BX)
+    expected = 16 * pb._round128(tc) * nbx
+    assert trainer._current_cap("grad_pack_capacity") == expected
+    # and the backend's own derivation from settings agrees in form:
+    # 0 -> 16 * _round128(capk) * nbx (capk after its n-clamp)
+    assert pb._round128(16 * capk * nbx) <= expected

@@ -307,38 +307,47 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, smem, sem, *,
 
 
 def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
-                dpack_ref, scratch, smem, sem, *, nty: int,
-                pack_cap: int, unroll: bool):
+                dpack_ref, scratch, smem, sem, gdma, gsem, pend, *,
+                nty: int, pack_cap: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
     accumulators, emitting GLOBALLY-PACKED gradient rows.
 
     Each tile stores its gradient rows at its global cursor `off_ref[i]`
-    (exclusive prefix sum of the chunk-aligned EFFECTIVE counts — entries
+    (exclusive prefix sum of the GROUP-aligned EFFECTIVE counts — entries
     up to the tile's last contributor, _effective_counts), so the packed
     output holds only rows the walk can produce, instead of the
     (T, cap, REC) padded form — the XLA scatter-add outside then processes
     ~4x fewer rows (the padded form measured 15ms/frame at 78% padding).
     One global pack (vs the earlier per-column packs of a shared static
     capacity) follows the scene's actual row distribution: a hot column
-    no longer overflows while empty columns waste reserved rows. The
-    packed block stays resident in VMEM across the whole grid (the grid
-    is column-major; the block's index map is constant) and flushes once.
-    Rows carry their compacted-slot target in packed channel 19 (the slot
-    iota channel binning carries through the record compaction as record
-    channel 21), so no index array needs to be packed alongside; packed
-    channels 0:19 are the gradients of record channels 0:19. Chunk stores
-    past `count` write zero rows with slot 0 (a harmless +=0 in the
-    scatter). A chunk whose rows would land past pack_cap is DROPPED
-    (clean tail truncation, counted by _aux_grad_pack_overflow_frac) —
-    never clamped onto earlier rows, which would overwrite other tiles'
-    gradients.
+    no longer overflows while empty columns waste reserved rows.
 
-    The output is stored FLAT-LANE: a chunk's (CHUNK, OUTREC) rows are
-    CHUNK*OUTREC/128 full 128-lane rows, so the (pack_cap*OUTREC//128,
-    128) block has zero lane padding — a (pack_cap, OUTREC) block would
-    be lane-padded 20->128 by the (8,128) tiling (6.4x VMEM/HBM, OOMs
-    scoped vmem at pack_cap 32K). Row-major order is identical, so the
-    reshape to (rows, OUTREC) outside is free of index math.
+    The packed array is HBM-RESIDENT (memory_space ANY): at production
+    caps it exceeds scoped VMEM (a VMEM-resident block OOM'd at the
+    derived default pack capacity — 229376 rows = 18.1M > the 16M scoped
+    limit, found by the round-4 soak). The kernel accumulates each
+    128-entry GROUP's rows (20 flat lane rows) in a double-buffered VMEM
+    staging buffer and DMAs the completed group to its slot
+    (off + g*GROUP)*OUTREC/128 — fixed-size copies into disjoint,
+    group-aligned regions, overlapped with the next group's compute.
+    Partial top groups are zero-filled at first visit so every reserved
+    row is written. Rows carry their compacted-slot target in packed
+    channel 19 (the slot iota channel binning carries through the record
+    compaction as record channel 21); packed channels 0:19 are the
+    gradients of record channels 0:19. Chunk stores past `count` write
+    zero rows with slot 0 (a harmless +=0 in the scatter). A group whose
+    rows would land past pack_cap is DROPPED (clean tail truncation,
+    counted by _aux_grad_pack_overflow_frac) — never clamped onto earlier
+    rows, which would overwrite other tiles' gradients. Rows past the
+    global demand are never written: the caller masks them before the
+    scatter (no in-kernel zero fill of the full array).
+
+    The output is stored FLAT-LANE: a group's (GROUP, OUTREC) rows are
+    GROUP*OUTREC/128 full 128-lane rows, so the (pack_cap*OUTREC//128,
+    128) array has zero lane padding — a (pack_cap, OUTREC) layout would
+    be lane-padded 20->128 by the (8,128) tiling (6.4x HBM traffic).
+    Row-major order is identical, so the reshape to (rows, OUTREC)
+    outside is free of index math.
 
     NOTE: two in-kernel scatter alternatives were built and measured before
     this design: per-column slot accumulators + a merge kernel (~60
@@ -351,7 +360,10 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
 
     @pl.when(i == 0)
     def _():
-        dpack_ref[:, :] = jnp.zeros(dpack_ref.shape, jnp.float32)
+        # pend[b] = (in-flight flag, destination base row) for each of the
+        # two group staging buffers; SMEM scratch starts undefined.
+        pend[0, 0] = 0
+        pend[1, 0] = 0
     x0 = ((i // nty) * BX).astype(jnp.float32)
     y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
@@ -545,10 +557,33 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             carry = lax.fori_loop(0, CHUNK, splat_body, carry)
         rows = jnp.sum(scratch[:, :, :], axis=2)  # (CHUNK*OUTREC//128, 128)
 
-        @pl.when(off + j0 + CHUNK <= pack_cap)
+        # Stage this chunk's rows into the group buffer (buf == the rec
+        # staging parity, g % 2). On the group's first visit (descending:
+        # its highest walked chunk) retire any in-flight DMA on this
+        # buffer, then zero it — partial top groups and count-gated chunks
+        # must contribute zero rows to the reserved group region.
+        grows = GROUP * OUTREC // 128
+        crows = CHUNK * OUTREC // 128
+
+        @pl.when(first_visit)
         def _():
-            base = (off + j0) * OUTREC // 128
-            dpack_ref[pl.ds(base, CHUNK * OUTREC // 128), :] = rows
+            @pl.when(pend[buf, 0] == 1)
+            def _():
+                _grad_group_copy(gdma, dpack_ref, gsem, buf,
+                                 pend[buf, 1]).wait()
+                pend[buf, 0] = 0
+            gdma[pl.ds(buf * grows, grows), :] = jnp.zeros(
+                (grows, 128), jnp.float32)
+
+        gdma[pl.ds(buf * grows + (c % GC) * crows, crows), :] = rows
+
+        # Group complete at its lowest chunk: DMA it to its packed slot.
+        @pl.when((c % GC == 0) & (off + g * GROUP + GROUP <= pack_cap))
+        def _():
+            base = (off + g * GROUP) * OUTREC // 128
+            _grad_group_copy(gdma, dpack_ref, gsem, buf, base).start()
+            pend[buf, 0] = 1
+            pend[buf, 1] = base
         return carry
 
     # No scratch zero-init: every splat writes all OUTREC of its flat
@@ -563,6 +598,26 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
         return c - 1, chunk_body(c, acc)
 
     lax.while_loop(cond, body, (start_chunk - 1, init))
+
+    # Retire this tile's in-flight group DMAs (at most two) so the next
+    # grid step may restage, and the final step leaves the semaphores
+    # drained.
+    for b in range(2):
+        @pl.when(pend[b, 0] == 1)
+        def _(b=b):
+            _grad_group_copy(gdma, dpack_ref, gsem, b, pend[b, 1]).wait()
+            pend[b, 0] = 0
+
+
+def _grad_group_copy(gdma, dpack_ref, gsem, buf, base):
+    """Async copy descriptor for one staged gradient group: 20 flat lane
+    rows from the staging buffer half `buf` to packed rows [base, base+20)
+    of the HBM-resident output."""
+    grows = GROUP * OUTREC // 128
+    return pltpu.make_async_copy(
+        gdma.at[pl.ds(buf * grows, grows), :],
+        dpack_ref.at[pl.ds(base, grows), :],
+        gsem.at[buf])
 
 
 class PallasMaps(NamedTuple):
@@ -607,20 +662,24 @@ def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
 
 
 def _effective_counts(counts, out):
-    """Per-tile chunk-aligned EFFECTIVE entry counts: entries past the
+    """Per-tile GROUP-aligned EFFECTIVE entry counts: entries past the
     tile's last contributor (forward early exit, out channel 12) are never
-    walked by the backward, so they reserve no packed gradient rows."""
+    walked by the backward, so they reserve no packed gradient rows.
+    GROUP (128-entry) alignment makes every tile's packed region a whole
+    number of the backward's DMA units (one group = GROUP*OUTREC/128 = 20
+    flat lane rows), so the HBM-resident packed array is written in
+    fixed-size group copies; the <GROUP/2 zero slack rows per tile
+    scatter +=0 to slot 0."""
     li = jnp.max(out[:, 12], axis=(1, 2)).astype(jnp.int32)  # -1 = none
-    walked = jnp.where(li < 0, 0, (li // CHUNK + 1) * CHUNK)
-    return jnp.minimum(-(-counts // CHUNK) * CHUNK, walked)
+    walked = jnp.where(li < 0, 0, (li // GROUP + 1) * GROUP)
+    return jnp.minimum(-(-counts // GROUP) * GROUP, walked)
 
 
 def _packed_offsets(counts, out):
     """Global packed row cursor per tile: exclusive prefix of the
-    chunk-aligned effective counts in grid (column-major tile) order.
-    Chunk alignment keeps every store's flat-lane offset (off+j0)*OUTREC
-    divisible by 128; the <CHUNK/2 zero slack rows per tile scatter +=0 to
-    slot 0."""
+    group-aligned effective counts in grid (column-major tile) order.
+    Group alignment keeps every DMA's flat-lane offset (off+g*GROUP)*
+    OUTREC/128 integral and every group copy disjoint."""
     cc = _effective_counts(counts, out)
     return (jnp.cumsum(cc) - cc).astype(jnp.int32)
 
@@ -641,17 +700,19 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
                          lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # ONE global packed block: every grid step maps to it (constant
-        # index map), so it stays resident in VMEM across the whole grid
-        # and flushes once. Flat-lane layout (see _bwd_kernel): zero lane
-        # padding.
-        out_specs=pl.BlockSpec((pack_cap * OUTREC // 128, 128),
-                               lambda i, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
+        # ONE global packed array, HBM-RESIDENT (ANY): at production caps
+        # it exceeds scoped VMEM. The kernel DMAs completed 128-entry
+        # groups into their disjoint group-aligned slots (see _bwd_kernel).
+        # Flat-lane layout: zero lane padding.
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((CHUNK * OUTREC // 128, 128, BX), jnp.float32),
             pltpu.SMEM((2, nch, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            # double-buffered group staging for the packed gradient rows
+            pltpu.VMEM((2 * GROUP * OUTREC // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, 2), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -695,17 +756,26 @@ def _blend_fwd(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
 
 def _blend_bwd(nbx, nty, capk, pack_cap, interpret, res, dout):
     rec_c, rec3, counts, row0, out = res
-    off = _packed_offsets(counts, out)
+    eff = _effective_counts(counts, out)
+    off = (jnp.cumsum(eff) - eff).astype(jnp.int32)
     dpack = _blend_bwd_call(rec3, counts, off, row0, out, dout, nty=nty,
                             capk=capk, pack_cap=pack_cap,
                             interpret=interpret)
     flat = dpack.reshape(-1, OUTREC)
-    idx = flat[:, OUTREC - 1].astype(jnp.int32)
+    # Rows past the global demand were never written (the HBM-resident
+    # packed array is not zero-initialized): mask them to +=0 at slot 0.
+    # The written prefix is exactly [0, min(demand, pack_cap)) — offsets
+    # and pack_cap are GROUP-aligned, so every group either lands whole
+    # or is dropped whole.
+    live_row = jnp.arange(flat.shape[0], dtype=jnp.int32) < jnp.minimum(
+        jnp.sum(eff), pack_cap)
+    idx = jnp.where(live_row, flat[:, OUTREC - 1].astype(jnp.int32), 0)
     # Scatter the full OUTREC rows (slicing `flat` first would copy the
     # whole packed array); the slot-sum column and the no-gradient record
     # channels 19:24 are dropped/zeroed on the small (K, REC) side.
     dsum = jnp.zeros(
-        (rec_c.shape[0], OUTREC), rec_c.dtype).at[idx].add(flat)
+        (rec_c.shape[0], OUTREC), rec_c.dtype).at[idx].add(
+        jnp.where(live_row[:, None], flat, 0.0))
     drec_c = jnp.concatenate(
         [dsum[:, : OUTREC - 1],
          jnp.zeros((rec_c.shape[0], REC - (OUTREC - 1)), rec_c.dtype)],
