@@ -1,8 +1,17 @@
 """End-to-end training throughput on the attached TPU.
 
-Synthetic production-shape run: W x H images, N-splat model, full Trainer
-step (render fwd+bwd + Adam + densify stats) with the pallas backend.
-Reports it/s and Mpix/s after a warmup window.
+Production-shape steady state: a textured surfel SHELL (opaque surfaces
+that saturate transmittance early, like trained real scenes) at full
+resolution and production splat count, full Trainer step (render fwd+bwd
++ Adam + densify stats) with the pallas backend. Densification/growth are
+off so the measurement is the steady-state per-iteration cost; the warmup
+window lets the Trainer's adaptive capacity caps settle first (growth
+events are reported — a settled run has none inside the timed window).
+
+A uniform random cloud is deliberately NOT used here: it is a
+transparency worst case whose true per-tile depth demand (~2.5x a trained
+scene's) the adaptive caps will faithfully size to — bench.py covers that
+pileup regime with fidelity-checked fixed caps.
 
 Usage: python scripts/train_bench.py [iters] [W] [N_log2]
 """
@@ -18,10 +27,38 @@ import os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import tpu2dgs  # noqa: E402
-from tpu2dgs.core import cameras  # noqa: E402
+from tpu2dgs.core import cameras, sh  # noqa: E402
 from tpu2dgs.model import splats as splats_lib  # noqa: E402
-from tpu2dgs.raster.api import RasterSettings, render  # noqa: E402
 from tpu2dgs.train.loop import TrainConfig, Trainer  # noqa: E402
+
+
+def shell_scene(n, rng):
+    """Textured surfel shell: opaque surfaces, production-like depth
+    complexity (same family as scripts/soak_train.py's ground truth)."""
+    theta = rng.uniform(0, np.pi, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    rr = 0.8 + 0.1 * np.sin(4 * theta) * np.cos(3 * phi)
+    xyz = np.stack([rr * np.sin(theta) * np.cos(phi),
+                    rr * np.cos(theta),
+                    rr * np.sin(theta) * np.sin(phi)], -1).astype(np.float32)
+    rgb = (0.5 + 0.45 * np.stack([np.sin(3 * theta), np.cos(2 * phi),
+                                  np.sin(theta + phi)], -1)).astype(np.float32)
+    return xyz, np.clip(rgb, 0.05, 0.95)
+
+
+def orbit(i, n, radius, w, h):
+    a = 2 * np.pi * i / n
+    fwd = np.array([-np.sin(a), 0.12 * np.sin(3 * a), -np.cos(a)])
+    fwd /= np.linalg.norm(fwd)
+    pos = -radius * fwd
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    tu = np.cross(fwd, right)
+    Rw2v = np.stack([right, tu, fwd])
+    return cameras.Camera(
+        uid=i, image_name=f"v{i}", R=Rw2v.T, T=-Rw2v @ pos,
+        fovx=np.pi / 3, fovy=np.pi / 3, width=w, height=h)
 
 
 def main():
@@ -33,22 +70,11 @@ def main():
     rng = np.random.default_rng(0)
     cams = []
     for i in range(24):
-        a = 2 * np.pi * i / 24
-        fwd = np.array([-np.sin(a), 0.0, -np.cos(a)])
-        pos = -2.5 * fwd
-        up = np.array([0.0, 1.0, 0.0])
-        right = np.cross(up, fwd)
-        right /= np.linalg.norm(right)
-        true_up = np.cross(fwd, right)
-        Rw2v = np.stack([right, true_up, fwd])
-        cam = cameras.Camera(
-            uid=i, image_name=f"v{i}", R=Rw2v.T, T=-Rw2v @ pos,
-            fovx=np.pi / 3, fovy=np.pi / 3, width=w, height=h)
+        cam = orbit(i, 24, 2.6, w, h)
         cam.image = rng.uniform(0, 1, (3, h, w)).astype(np.float32)
         cams.append(cam)
 
-    pts = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
-    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    pts, cols = shell_scene(n, rng)
     model = splats_lib.create_from_pcd(pts, cols, capacity=n)
 
     cfg = TrainConfig(
@@ -59,14 +85,28 @@ def main():
         loss_sync_interval=50,
     )
     tr = Trainer(
-        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=3.0,
+        model, cams, w, h, spatial_lr_scale=1.0, scene_extent=2.6,
         train_cfg=cfg, max_sh_degree=3,
         raster_kwargs=dict(backend="pallas", bin_capacity=8192,
                            tile_capacity=2048, grad_pack_capacity=0),
         seed=0,
     )
 
-    tr.train(num_iters=20)  # compile + warm
+    # Warm until the adaptive caps settle: run past at least two
+    # densification-interval boundaries (cap growth triggers there) and
+    # re-warm after any growth event recompile.
+    settle = 0
+    while True:
+        before = len(tr.cap_growth_events)
+        tr.train(num_iters=2 * cfg.densification_interval + 10)
+        settle += 2 * cfg.densification_interval + 10
+        if len(tr.cap_growth_events) == before:
+            break
+    if tr.cap_growth_events:
+        print(f"cap growth during warmup ({settle} iters): "
+              f"{tr.cap_growth_events}")
+
+    events_before = len(tr.cap_growth_events)
     t0 = time.perf_counter()
     tr.train(num_iters=iters)
     # force completion
@@ -74,7 +114,9 @@ def main():
     float(jnp.sum(tr.model.params.xyz))
     dt = time.perf_counter() - t0
     it_s = iters / dt
-    print(f"train_bench: {w}x{h}, {n} splats, {iters} iters: "
+    assert len(tr.cap_growth_events) == events_before, (
+        "cap growth inside the timed window", tr.cap_growth_events)
+    print(f"train_bench: {w}x{h}, {n} splats (shell), {iters} iters: "
           f"{it_s:.2f} it/s  ({it_s * w * h / 1e6:.2f} Mpix/s)")
 
 

@@ -704,7 +704,7 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
         # it exceeds scoped VMEM. The kernel DMAs completed 128-entry
         # groups into their disjoint group-aligned slots (see _bwd_kernel).
         # Flat-lane layout: zero lane padding.
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((CHUNK * OUTREC // 128, 128, BX), jnp.float32),
             pltpu.SMEM((2, nch, GROUP), jnp.float32),
