@@ -59,7 +59,26 @@ class RasterSettings:
                                  # tile columns); overflowing tails are
                                  # dropped, counted by
                                  # grad_pack_overflow_frac
+    xfer_capacity: int = 0       # splat sharding: strip-routed survivor
+                                 # exchange — max records per
+                                 # (owner -> strip) all_to_all message.
+                                 # 0 = all-gather every survivor to every
+                                 # device (exact, ~96 B/row x K received
+                                 # per device + a replicated K-row merge);
+                                 # >0 routes records only to strips their
+                                 # boxes intersect (~D-fold less ICI volume
+                                 # and a K/D-row per-strip merge; messages
+                                 # past the cap drop their DEEPEST rows,
+                                 # counted by xfer_overflow_frac and healed
+                                 # by the Trainer's adaptive caps)
     chunk: int = 32              # splats composited per vector step
+    row_balance: str = "work"    # multi-chip tile-row assignment (pallas):
+                                 # "work" = contiguous per-device windows at
+                                 # work-quantile boundaries (traced — no
+                                 # recompile between cameras; measured
+                                 # max/mean strip work 2.9x -> ~1.1x on the
+                                 # bench pileup at D=8); "static" = fixed
+                                 # equal-height strips
     debug: bool = False          # pallas: interpreter mode ("sanitizer",
                                  # the reference rasterizer's debug flag)
 

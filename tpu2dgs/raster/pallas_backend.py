@@ -788,13 +788,22 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
                      interpret: bool = False, tile_row0=0,
-                     nty_local: int | None = None):
+                     nty_local: int | None = None,
+                     row_lo=None, row_hi=None):
     """Drop-in fast backend: same (image, allmap) contract as the others.
 
     With (tile_row0, nty_local) only that strip of BY-pixel tile rows is
     rasterized (the unit of multi-chip distribution; tile_row0 may be a
     traced scalar and MUST be a multiple of 4 for coarse-bin alignment).
-    The strip is returned un-cropped: (nty_local*BY, nbx*BX)."""
+    The strip is returned un-cropped: (nty_local*BY, nbx*BX).
+
+    With (row_lo, row_hi) — TRACED int32 tile-row bounds, exclusive hi —
+    the grid stays FULL-height but only tiles inside the half-open window
+    produce work (binning masks the rest to empty lists): the
+    work-balanced multi-chip mode, where windows are per-device work
+    quantiles at tile-row granularity and need no alignment or recompile
+    (parallel/sharded.rasterize_sharded with row_balance="work").
+    Out-of-window rows of the returned strip contain background only."""
     w, h = settings.width, settings.height
     n = splats.tmat.shape[0]
 
@@ -824,7 +833,8 @@ def rasterize_pallas(splats: SplatScreen, settings, bg_color: jnp.ndarray,
     rec3, raw_counts, bin_counts, col_counts = _bin_records(
         comp.x0, comp.x1, comp.y0, comp.y1, n_vis,
         lax.stop_gradient(rec), nbx, nty, bin_cap, cap, tile_row0,
-        col_cap=col_cap, ids=comp.perm, interpret=interpret)
+        col_cap=col_cap, ids=comp.perm, interpret=interpret,
+        row_lo=row_lo, row_hi=row_hi)
 
     aux = {
         "_aux_bin_overflow_frac": jnp.mean(
@@ -909,6 +919,11 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
         # doubling ladder of them)
         "_aux_tile_count_max": jnp.max(raw_counts).astype(jnp.float32),
         "_aux_grad_pack_max": pack_demand.astype(jnp.float32),
+        # Work actually blended (sum of capacity-clamped tile entries) —
+        # the load-balance signal: under tile-row sharding each strip
+        # reports its own sum and parallel/sharded all-gathers them into a
+        # (D,) vector, making cross-device imbalance observable.
+        "_aux_strip_work": jnp.sum(counts).astype(jnp.float32),
         **aux,
     }
     return image, allmap
@@ -933,7 +948,8 @@ _REC_PADS = tuple(
 
 
 def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
-                 tile_row0, col_cap=32768, ids=None, interpret=False):
+                 tile_row0, col_cap=32768, ids=None, interpret=False,
+                 row_lo=None, row_hi=None):
     """Three-level record-carrying binning: columns -> coarse bins -> tiles.
 
     x0..y1: (K,) screen binning AABBs in DEPTH-ASCENDING order (never-hit
@@ -966,6 +982,18 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
           exact test. Tiles are COLUMN-major (t = tix*nty + tiy) so the
           backward kernel keeps one column accumulator resident across a
           column's consecutive grid steps.
+
+    `row_lo`/`row_hi` (optional TRACED int32 scalars, global tile-row
+    units) restrict binning to the half-open tile-row window
+    [row_lo, row_hi) at TILE granularity: L1's column y-range shrinks to
+    the window, coarse bins entirely outside it and fine tiles outside it
+    get never-hit rectangles (empty lists, counts 0). This is the
+    work-balanced multi-chip mode (parallel/sharded.py): the grid stays
+    full-height/static-shaped while the populated window is a traced
+    quantile of the per-row work — no recompile when the balance point
+    moves between cameras. Window boundaries need NO coarse (4-row)
+    alignment: a straddling coarse bin keeps its full rectangle (candidate
+    superset) and the per-tile exact test restores exactness.
     """
     cby = 4  # coarse bin = (BX, 4*BY) px
     nby_c = -(-nty // cby)
@@ -983,8 +1011,14 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
         g0 = jnp.arange(x0.shape[0], dtype=f32)[None, :]
     else:
         g0 = ids.astype(f32)[None, :]
-    y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
-    y_hi = y_lo + (nty * BY - 1)
+    if row_lo is not None:
+        wlo = jnp.asarray(row_lo, f32)
+        whi = jnp.asarray(row_hi, f32)
+        y_lo = (wlo * BY) * jnp.ones((nbx,), f32)
+        y_hi = (whi * BY - 1) * jnp.ones((nbx,), f32)
+    else:
+        y_lo = (jnp.asarray(tile_row0, f32) * BY) * jnp.ones((nbx,), f32)
+        y_hi = y_lo + (nty * BY - 1)
     cix = jnp.arange(nbx, dtype=f32)
     cchan, col_cnt = select_kernel.select_values(
         (cix * BX, cix * BX + (BX - 1), y_lo, y_hi),
@@ -1011,10 +1045,18 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
     bi = jnp.arange(nb, dtype=jnp.int32)
     bix = (bi // nby_c).astype(f32)
     biy = (bi % nby_c).astype(f32) + jnp.asarray(tile_row0, f32) / cby
+    by0 = biy * (BY * cby)
+    by1 = by0 + (BY * cby - 1)
+    if row_lo is not None:
+        # Drop bins ENTIRELY outside the window (straddlers keep their full
+        # rectangle: candidate supersets are exact under the L3 test).
+        brow0 = cby * (bi % nby_c).astype(f32)
+        in_win = (brow0 < whi) & (brow0 + cby > wlo)
+        by0 = jnp.where(in_win, by0, 2e9)
+        by1 = jnp.where(in_win, by1, 2e9 + (BY * cby - 1))
     bin_parent = bi // nby_c
     bchan, bin_counts = select_kernel.select_values(
-        (bix * BX, bix * BX + (BX - 1),
-         biy * (BY * cby), biy * (BY * cby) + (BY * cby - 1)),
+        (bix * BX, bix * BX + (BX - 1), by0, by1),
         l2_in, bin_parent, bin_capk,
         parent_counts=jnp.minimum(col_cnt, col_cap)[bin_parent],
         box_idx=None, exact_idx=_EXACT_IDX, pad_vals=_REC_PADS,
@@ -1027,6 +1069,9 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
     bin_of_tile = tix * nby_c + tiy // cby
     tx0 = (tix * BX).astype(f32)
     ty0 = ((tiy + jnp.asarray(tile_row0, jnp.int32)) * BY).astype(f32)
+    if row_lo is not None:
+        tin = (tiy.astype(f32) >= wlo) & (tiy.astype(f32) < whi)
+        ty0 = jnp.where(tin, ty0, 2e9)
     # (L3 cannot slim its output to the 22 channels the blend kernels
     # read: the record-staging DMA slices the (nch, capk) VMEM block along
     # the channel dim, which Mosaic requires to be sublane-aligned —

@@ -178,6 +178,10 @@ def rasterize_rows(
         (bin_counts > bin_cap).astype(jnp.float32))
     allmap["_aux_tile_count_max"] = jnp.max(counts).astype(jnp.float32)
     allmap["_aux_bin_count_max"] = jnp.max(bin_counts).astype(jnp.float32)
+    # Blended work (capacity-clamped tile entries): the load-balance signal
+    # under tile-row sharding (parallel/sharded all-gathers per-strip sums).
+    allmap["_aux_strip_work"] = jnp.sum(
+        jnp.minimum(counts, tile_cap)).astype(jnp.float32)
     if not return_aux:
         return image, allmap
     aux = {
