@@ -27,7 +27,7 @@ import os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import tpu2dgs  # noqa: E402
-from tpu2dgs.core import cameras, sh  # noqa: E402
+from tpu2dgs.core import cameras  # noqa: E402
 from tpu2dgs.model import splats as splats_lib  # noqa: E402
 from tpu2dgs.train.loop import TrainConfig, Trainer  # noqa: E402
 

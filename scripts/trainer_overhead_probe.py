@@ -4,6 +4,7 @@ Same model/settings as train_bench; reports ms/iter for (a) the jitted
 step_fn called in a tight loop with one terminal block, (b) Trainer.train.
 """
 
+import dataclasses
 import sys
 import time
 
@@ -17,7 +18,6 @@ sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))
 import tpu2dgs  # noqa: E402
 from tpu2dgs.model import splats as splats_lib  # noqa: E402
 from tpu2dgs.train.loop import TrainConfig, Trainer  # noqa: E402
-from train_bench import main as _unused  # noqa: F401  (reuse its camera builder below)
 
 
 def build():
@@ -61,9 +61,20 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     tr = build()
 
+    # Settle the adaptive caps FIRST: cap growth clears the step-fn cache,
+    # and a recompile inside a timed window turns 40 ms/iter into
+    # 1400 ms/iter of pure compile (measured round 5) — the comparison is
+    # only honest once no growth events can fire mid-window.
+    while True:
+        before = len(tr.cap_growth_events)
+        tr.train(num_iters=2 * tr.cfg.densification_interval + 10)
+        if len(tr.cap_growth_events) == before:
+            break
+    print("cap growth during settle:", tr.cap_growth_events)
+
     # ---- (a) raw step_fn loop ----
     step_fn = tr._get_step_fn()
-    cam0 = tr._cam_arrays[0]
+    cam0 = (tr._cam_stacked, tr._idx_scalars[0])
     gt0 = tr._gt_images[0]
     bg = tr.bg
     model, adam = tr.model, tr.adam
@@ -85,10 +96,28 @@ def main():
     for i in range(iters):
         ci = i % len(tr._cam_arrays)
         model, adam, metrics = step_fn(
-            model, adam, tr._cam_arrays[ci], tr._gt_images[ci], bg,
-            jnp.float32(i), lam_n, lam_d)
+            model, adam, (tr._cam_stacked, tr._idx_scalars[ci]),
+            tr._gt_images[ci], bg, jnp.float32(i), lam_n, lam_d)
     jax.block_until_ready(metrics["loss"])
     dt_rot = (time.perf_counter() - t0) / iters * 1e3
+
+    # (a3/a4) isolate WHICH rotating operand costs: cams only / gt only
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ci = i % len(tr._cam_arrays)
+        model, adam, metrics = step_fn(
+            model, adam, (tr._cam_stacked, tr._idx_scalars[ci]), gt0, bg,
+            jnp.float32(i), lam_n, lam_d)
+    jax.block_until_ready(metrics["loss"])
+    dt_rc = (time.perf_counter() - t0) / iters * 1e3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        ci = i % len(tr._cam_arrays)
+        model, adam, metrics = step_fn(
+            model, adam, cam0, tr._gt_images[ci], bg,
+            jnp.float32(i), lam_n, lam_d)
+    jax.block_until_ready(metrics["loss"])
+    dt_rg = (time.perf_counter() - t0) / iters * 1e3
 
     # ---- (b) Trainer loop ----
     tr.train(num_iters=20)  # warm its own path
@@ -98,13 +127,23 @@ def main():
     float(jnp.sum(tr.model.params.xyz))
     dt_tr = (time.perf_counter() - t0) / iters * 1e3
 
+    # (b2) Trainer loop with the periodic loss host-sync disabled
+    tr.cfg = dataclasses.replace(tr.cfg, loss_sync_interval=10 ** 9)
+    t0 = time.perf_counter()
+    tr.train(num_iters=iters)
+    jax.block_until_ready(tr.model.params.xyz)
+    float(jnp.sum(tr.model.params.xyz))
+    dt_ns = (time.perf_counter() - t0) / iters * 1e3
+
     print("cap growth events:", tr.cap_growth_events)
     print("final raster_kwargs:", tr.raster_kwargs)
-    print(f"raw step_fn loop:        {dt_raw:8.2f} ms/iter")
-    print(f"raw loop, rotating cams: {dt_rot:8.2f} ms/iter")
-    print(f"Trainer.train:           {dt_tr:8.2f} ms/iter")
+    print(f"raw step_fn loop:          {dt_raw:8.2f} ms/iter")
+    print(f"raw loop, rotating cams:   {dt_rot:8.2f} ms/iter")
+    print(f"raw, rotating cams only:   {dt_rc:8.2f} ms/iter")
+    print(f"raw, rotating gt only:     {dt_rg:8.2f} ms/iter")
+    print(f"Trainer.train:             {dt_tr:8.2f} ms/iter")
+    print(f"Trainer.train (no sync):   {dt_ns:8.2f} ms/iter")
 
 
 if __name__ == "__main__":
     main()
-# (growth-event printout appended by round-4 investigation)

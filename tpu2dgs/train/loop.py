@@ -43,12 +43,16 @@ from tpu2dgs.train import losses
 OVERFLOW_KEYS = ("tile_overflow_frac", "bin_overflow_frac",
                  "col_overflow_frac", "grad_pack_overflow_frac",
                  "vis_overflow", "tile_count_max", "bin_count_max",
-                 "col_count_max", "grad_pack_max")
+                 "col_count_max", "grad_pack_max",
+                 "xfer_overflow_frac", "xfer_count_max")
 OVERFLOW_CAP_OF = {
     "tile_overflow_frac": "tile_capacity",
     "bin_overflow_frac": "bin_capacity",
     "col_overflow_frac": "col_capacity",
     "grad_pack_overflow_frac": "grad_pack_capacity",
+    # strip-routed splat exchange (parallel/sharded.py): present in the
+    # metrics only when xfer_capacity > 0 enables the routed path
+    "xfer_overflow_frac": "xfer_capacity",
 }
 # True demand maxima reported by the backend: growth sizes the new cap
 # directly from these, so healing takes ONE recompile instead of a 1.5x
@@ -58,6 +62,7 @@ OVERFLOW_DEMAND_OF = {
     "bin_overflow_frac": "bin_count_max",
     "col_overflow_frac": "col_count_max",
     "grad_pack_overflow_frac": "grad_pack_max",
+    "xfer_overflow_frac": "xfer_count_max",
 }
 
 
@@ -97,9 +102,19 @@ def make_train_step(
     mesh=None,
     camera_batch: int = 1,
     shard_splats: bool = False,
+    indexed_cameras: bool = False,
 ) -> Callable:
     """Returns jitted step(model, adam, cam, gt, bg, step, lam_normal,
     lam_dist) -> (model, adam, metrics).
+
+    With `indexed_cameras`, `cam` is a (cam_stack, cam_idx) pair — every
+    CameraArrays leaf stacked along a leading view axis plus the view
+    index (scalar, or (B,) when camera_batch > 1) — and the view is
+    selected ON DEVICE. Every step then passes identical camera argument
+    buffers plus one tiny index, and batched steps need no per-iteration
+    host-side camera stacking. (Measured neutral on throughput — the raw
+    loop's apparent per-view cost spread is workload variance across
+    views, not argument marshaling; scripts/trainer_overhead_probe.py.)
 
     With `mesh`, rasterization is tile-row sharded across the mesh's "rows"
     axis and splat-parameter gradients are psum'd by the shard_map transpose
@@ -149,6 +164,9 @@ def make_train_step(
     # donation is left off until run on directly-attached chips.
     @jax.jit
     def step_fn(model, adam, cam, gt, bg, step, lam_normal, lam_dist):
+        if indexed_cameras:
+            cam_stack, cam_idx = cam
+            cam = jax.tree.map(lambda a: a[cam_idx], cam_stack)
         p = model.params
         zeros_off = jnp.zeros((model.capacity, 2), jnp.float32)
 
@@ -264,6 +282,7 @@ class Trainer:
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (100, 110),
         max_caps: Optional[dict] = None,
+        gt_cache_mb: Optional[float] = None,
     ):
         self.model = model
         self.max_capacity = max_capacity
@@ -330,22 +349,45 @@ class Trainer:
         self.max_caps = {
             "tile_capacity": 16_384, "bin_capacity": 65_536,
             "col_capacity": 262_144, "grad_pack_capacity": 262_144,
+            "xfer_capacity": 262_144,
             **(max_caps or {}),
         }
         self.cap_growth_events: list[tuple[int, str, int]] = []
         self.gui = None            # optional viewer.network_gui.NetworkGUI
         self._gui_paused = False   # client sent do_training=False
         self.source_path = ""      # verify string sent to the viewer
-        # Pre-stage per-camera device data once: repeated host->device image
-        # uploads per step dominate when the accelerator link is slow, and
-        # are pure waste everywhere (reference re-uploads every iteration,
-        # train.py:72).
+        # Camera matrices: staged once AND stacked along a view axis — the
+        # step selects the view on device from a cached index scalar
+        # (identical argument buffers every step; no host-side stacking
+        # for batched steps).
         self._cam_arrays = [c.arrays() for c in cameras]
-        self._gt_images = [
-            jax.device_put(jnp.asarray(c.image, jnp.float32))
-            if c.image is not None else None
-            for c in cameras
-        ]
+        self._cam_stacked = (jax.tree.map(
+            lambda *xs: jnp.stack(xs), *self._cam_arrays)
+            if self._cam_arrays else None)
+        self._idx_scalars = [jnp.int32(i) for i in range(len(cameras))]
+        # GT images: pre-staged on device when they fit the budget
+        # (repeated host->device image uploads per step are pure waste —
+        # the reference re-uploads every iteration, train.py:72). A scene
+        # whose GT set exceeds `gt_cache_mb` (e.g. MipNeRF-360 indoor:
+        # ~290 views x images_2 ~ 5.6 GB, competing with a multi-million
+        # splat model for HBM) falls back to host-resident images with an
+        # ASYNC device_put prefetch of the next view, overlapped with the
+        # current step's compute — O(1) device memory at ~the reference's
+        # upload schedule but off the critical path.
+        imgs = [c.image for c in cameras]
+        total_mb = sum(float(np.asarray(im).nbytes) / 1e6
+                       for im in imgs if im is not None)
+        self.gt_prestaged = (gt_cache_mb is None or total_mb <= gt_cache_mb)
+        if self.gt_prestaged:
+            self._gt_images = [
+                jax.device_put(jnp.asarray(im, jnp.float32))
+                if im is not None else None
+                for im in imgs
+            ]
+        else:
+            self._gt_np = [np.asarray(im, np.float32)
+                           if im is not None else None for im in imgs]
+            self._gt_prefetch: dict[int, jax.Array] = {}
 
     # -- helpers -----------------------------------------------------------
 
@@ -363,6 +405,7 @@ class Trainer:
                 self.spatial_lr_scale, mesh=self.mesh,
                 camera_batch=self.cfg.camera_batch,
                 shard_splats=self.shard_splats,
+                indexed_cameras=True,
             )
         return self._step_fns[key]
 
@@ -371,9 +414,38 @@ class Trainer:
             self._cam_stack = list(self.rng.permutation(len(self.cameras)))
         return int(self._cam_stack.pop())
 
+    def _peek_camera_index(self) -> int:
+        """Index the NEXT _next_camera_index call will return (refilling
+        the shuffled stack if needed) — the prefetch target."""
+        if not self._cam_stack:
+            self._cam_stack = list(self.rng.permutation(len(self.cameras)))
+        return int(self._cam_stack[-1])
+
+    def _gt_for(self, ci: int) -> jax.Array:
+        """Device GT for view ci; under a gt_cache_mb budget, consume the
+        in-flight prefetch (or upload synchronously on a miss) and start
+        the NEXT view's async upload so it overlaps this step's compute."""
+        if self.gt_prestaged:
+            return self._gt_images[ci]
+        arr = self._gt_prefetch.pop(ci, None)
+        if arr is None:
+            arr = jax.device_put(self._gt_np[ci])
+        nxt = self._peek_camera_index()
+        if nxt not in self._gt_prefetch and len(self._gt_prefetch) < 3:
+            self._gt_prefetch[nxt] = jax.device_put(self._gt_np[nxt])
+        return arr
+
     def _split_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _lam_scalar(self, v: float) -> jax.Array:
+        cache = getattr(self, "_scalar_cache", None)
+        if cache is None:
+            cache = self._scalar_cache = {}
+        if v not in cache:
+            cache[v] = jnp.float32(v)
+        return cache[v]
 
     def _current_cap(self, kwarg: str) -> int:
         val = self.raster_kwargs.get(kwarg)
@@ -442,23 +514,25 @@ class Trainer:
 
             if cfg.camera_batch == 1:
                 ci = self._next_camera_index()
-                cam_arrays = self._cam_arrays[ci]
-                gt = self._gt_images[ci]
+                cam_arrays = (self._cam_stacked, self._idx_scalars[ci])
+                gt = self._gt_for(ci)
             else:
                 idxs = [self._next_camera_index()
                         for _ in range(cfg.camera_batch)]
-                cam_arrays = jax.tree.map(
-                    lambda *xs: jnp.stack(xs),
-                    *[self._cam_arrays[i] for i in idxs]
-                )
-                gt = jnp.stack([self._gt_images[i] for i in idxs])
+                cam_arrays = (self._cam_stacked,
+                              jnp.asarray(idxs, jnp.int32))
+                gt = jnp.stack([self._gt_for(i) for i in idxs])
             bg = (
                 jax.random.uniform(self._split_key(), (3,))
                 if cfg.random_background else self.bg
             )
-            lam_n = jnp.float32(
+            # Cached device scalars: the loss-gate lambdas change at most
+            # once each per run, and a fresh jnp.float32 per iteration is a
+            # host->device upload (milliseconds through a remote-TPU
+            # tunnel, pure waste everywhere).
+            lam_n = self._lam_scalar(
                 cfg.lambda_normal if it > cfg.normal_from_iter else 0.0)
-            lam_d = jnp.float32(
+            lam_d = self._lam_scalar(
                 cfg.lambda_dist if it > cfg.dist_from_iter else 0.0)
 
             step_fn = self._get_step_fn()
