@@ -40,19 +40,20 @@ def build():
         width=w, height=h, sh_degree=3, backend=backend,
         bin_capacity=int(os.environ.get(
             "BENCH_BIN_CAP", 8192 if backend == "pallas" else 4096)),
-        # 1792 measures 63.4 dB truncation PSNR vs the zero-overflow
-        # config on this worst-case pileup (exact-coverage binning halved
-        # the deep tails: max tile count 2755 vs ~5K in round 2); 2048 =
-        # 69.9 dB at ~4% lower throughput, 1536 = 56 dB (NOT legitimate).
-        # fidelity_check() reports the number next to the headline.
+        # 2048 measures 69.9 dB truncation PSNR vs the zero-overflow
+        # config on this worst-case pileup — visually transparent — and
+        # is the DEFAULT as of round 5 (16.3 Mpix/s on v5e). 1792 = 63.4
+        # dB at 17.1 Mpix/s; 1536 = 56 dB (NOT legitimate). fidelity_
+        # check() reports the number next to the headline so the
+        # throughput/fidelity trade stays visible.
         tile_capacity=int(os.environ.get(
-            "BENCH_TILE_CAP", 1792 if backend == "pallas" else 512)),
+            "BENCH_TILE_CAP", 2048 if backend == "pallas" else 512)),
         # GLOBAL packed gradient rows: this scene's measured demand (sum of
-        # GROUP-aligned effective tile counts) is 136064, so 136192 keeps
-        # grad_pack_overflow at exactly 0 — no gradient tails dropped —
-        # while the scatter processes ~40% fewer rows than the generic
-        # default (16 * cap * tile columns).
-        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 136192)),
+        # GROUP-aligned effective tile counts) at cap 2048 is 146304, so
+        # 146432 keeps grad_pack_overflow at exactly 0 — no gradient tails
+        # dropped — while the scatter processes ~40% fewer rows than the
+        # generic default (16 * cap * tile columns).
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 146432)),
         vis_capacity=int(os.environ.get("BENCH_VIS_CAP", 0)),
         col_capacity=int(os.environ.get("BENCH_COL_CAP", 32768)),
     )
@@ -91,8 +92,8 @@ def fidelity_check():
     s_def = RasterSettings(
         width=w, height=h, sh_degree=3, backend="pallas",
         bin_capacity=8192, tile_capacity=int(os.environ.get(
-            "BENCH_TILE_CAP", 1792)),
-        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 136192)))
+            "BENCH_TILE_CAP", 2048)),
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 146432)))
     # zero-overflow settings for this scene (verified on v5e: all four
     # overflow fractions exactly 0 with these caps; no SMEM ceiling —
     # records stage per walked chunk group, so capacity costs only HBM)

@@ -21,7 +21,15 @@ are set ~15-30% under those: PSNR >= 19 dB, Chamfer <= 0.06 — drift past
 them is a regression signal, not noise. A future round with real datasets
 calibrates the same harness against the published DTU/TnT tables.
 
-Usage:  python scripts/quality_gate.py [out_dir] [iters] [res]
+The gate runs the FLAGSHIP pallas backend by default (QGATE_BACKEND
+overrides) and cross-checks the trained model's test render against the
+tiled XLA backend (>= 40 dB agreement: the kernels that ship are the
+kernels that gate). `--soak` compresses the full 30K reference schedule
+into the gate: small random init (capacity growth events), >= 2 opacity
+resets, SH ramp to degree 3, densification to 80% — the long-schedule
+integration soak for the recompile boundaries.
+
+Usage:  python scripts/quality_gate.py [out_dir] [iters] [res] [--soak]
 Prints one JSON line with the measured numbers and pass/fail.
 """
 
@@ -63,7 +71,7 @@ def shell_surface_points(n=20000, seed=3):
                      rr * np.sin(theta) * np.sin(phi)], -1)
 
 
-def main(out_dir=None, iters=2000, res=128):
+def main(out_dir=None, iters=2000, res=128, soak=False):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -118,6 +126,8 @@ def main(out_dir=None, iters=2000, res=128):
         w2c = np.linalg.inv(gl)
         cam = C.Camera(uid=i, image_name=f"r_{i}", R=w2c[:3, :3].T,
                        T=w2c[:3, 3], fovx=0.9, fovy=0.9, width=w, height=h)
+        if i == 1:
+            test_cam = cam  # first held-out view: backend cross-check
         img = np.asarray(render_jit(cam.arrays()))
         Image.fromarray(
             (np.clip(img.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
@@ -130,16 +140,24 @@ def main(out_dir=None, iters=2000, res=128):
         json.dump({"camera_angle_x": 0.9, "frames": frames[1::2]}, f)
 
     # The real pipeline: train (densify ON) -> render + mesh -> metrics.
+    backend = os.environ.get("QGATE_BACKEND", "pallas")
+    schedule = (
+        # Compressed 30K schedule: tiny random init so densification must
+        # grow capacity repeatedly, >= 2 opacity resets inside the densify
+        # window, SH ramp to 3 (increments at 1000/2000/3000).
+        ["--opacity_reset_interval", str(max(iters // 3, 200)),
+         "--num_init_points", "1500"]
+        if soak else
+        ["--opacity_reset_interval", "100000"])
     cli_train.main([
         "-s", src, "-m", out, "--eval", "--iterations", str(iters),
         "--save_iterations", str(iters), "--test_iterations", str(iters),
         "--densify_from_iter", "100", "--densify_until_iter",
         str(int(iters * 0.8)), "--densification_interval", "50",
-        "--opacity_reset_interval", "100000",
         "--bin_capacity", "1024", "--tile_capacity", "512",
-        "--backend", os.environ.get("QGATE_BACKEND", "tiled"),
+        "--backend", backend,
         "--quiet", "--max_capacity", "131072",
-    ])
+    ] + schedule)
     cli_render.main([
         "-m", out, "--quiet", "--skip_train",
         "--voxel_size", "0.02", "--sdf_trunc", "0.06", "--depth_trunc", "5.0",
@@ -160,15 +178,51 @@ def main(out_dir=None, iters=2000, res=128):
     # mesh vertices are dense enough at voxel 0.02; bidirectional mean
     _, _, chamfer = geometry.chamfer_distance(verts, gt_pts)
 
+    # Backend cross-check at gate scale: the trained model must render the
+    # same images through the pallas kernels and the tiled XLA backend
+    # (ulp-level blend/termination flips bound the difference; >= 40 dB
+    # means "the kernels that ship are the kernels that gated").
+    from tpu2dgs.model import splats as splats_lib
+    trained = splats_lib.load_ply(os.path.join(
+        out, "point_cloud", f"iteration_{iters}", "point_cloud.ply"))
+    tp = trained.params
+    targs = (tp.xyz, jnp.exp(tp.scaling), tp.rotation,
+             jax.nn.sigmoid(tp.opacity[:, 0]), splats_lib.features(tp))
+    cross = {}
+    cam_arrays = test_cam.arrays()
+    for be in ("pallas", "tiled"):
+        # Generous caps: under truncation the backends' tile lists can
+        # legitimately differ (exact-coverage vs AABB selection), so the
+        # cross-check must compare untruncated renders.
+        sx = RasterSettings(width=w, height=h, sh_degree=3, backend=be,
+                            bin_capacity=8192, tile_capacity=4096)
+        cross[be] = render_op(cam_arrays, sx, *targs, jnp.zeros(3),
+                              live=trained.live)["render"]
+    err = float(jnp.mean((jnp.clip(cross["pallas"], 0, 1)
+                          - jnp.clip(cross["tiled"], 0, 1)) ** 2))
+    cross_psnr = float(-10.0 * np.log10(max(err, 1e-12)))
+
+    final_points = int(trained.num_live())
     report = {
         "metric": "synthetic_quality_gate",
+        "backend": backend,
         "psnr_db": round(psnr, 2),
         "ssim": round(ssim, 4),
         "chamfer": round(float(chamfer), 4),
         "mesh_vertices": int(len(verts)),
-        "thresholds": {"psnr_db": 19.0, "chamfer": 0.06},
-        "pass": bool(psnr >= 19.0 and chamfer <= 0.06),
+        "backend_cross_psnr_db": round(cross_psnr, 2),
+        "final_points": final_points,
+        "thresholds": {"psnr_db": 19.0, "chamfer": 0.06,
+                       "backend_cross_psnr_db": 40.0},
+        "pass": bool(psnr >= 19.0 and chamfer <= 0.06
+                     and cross_psnr >= 40.0),
     }
+    if soak:
+        # >= 2 capacity growths past the 2048 init capacity require
+        # live > 0.9 * 4096: final_points proves the growth path ran.
+        report["soak"] = True
+        report["thresholds"]["final_points"] = 6000
+        report["pass"] = bool(report["pass"] and final_points >= 6000)
     print(json.dumps(report), flush=True)
     if tmp is not None:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -176,5 +230,7 @@ def main(out_dir=None, iters=2000, res=128):
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or [None]),
-         *(int(a) for a in sys.argv[2:4]))
+    argv = [a for a in sys.argv[1:] if a != "--soak"]
+    main(*(argv[0:1] or [None]),
+         *(int(a) for a in argv[1:3]),
+         soak="--soak" in sys.argv)

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--disable_viewer", action="store_true", default=False)
     parser.add_argument("--max_capacity", type=int, default=4_194_304)
+    parser.add_argument(
+        "--num_init_points", type=int, default=None,
+        help="Blender random-init cloud size (default: the reference's "
+        "100K, dataset_readers.py:236-244)")
     parser.add_argument("--camera_batch", type=int, default=1)
     parser.add_argument(
         "--n_devices", type=int, default=1,
@@ -96,6 +100,7 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         resolution=model_p.resolution,
         white_background=model_p.white_background,
         eval_split=model_p.eval, seed=args.seed,
+        num_init_points=args.num_init_points,
     )
     # Fresh training only: persist input.ply + cameras.json into the model
     # dir (reference scene/__init__.py guards with `if not loaded_iter`;

@@ -184,12 +184,19 @@ def read_blender_scene(path: str, white_background: bool = False,
 
 def read_scene(path: str, images_dir: Optional[str] = None,
                white_background: bool = False,
-               eval_split: bool = False) -> SceneInfo:
-    """Dataset-type dispatch (reference scene/__init__.py:43-49)."""
+               eval_split: bool = False,
+               num_init_points: Optional[int] = None) -> SceneInfo:
+    """Dataset-type dispatch (reference scene/__init__.py:43-49).
+
+    `num_init_points` overrides the Blender random-init cloud size (the
+    reference hardcodes 100K, dataset_readers.py:236-244; a small value
+    exercises capacity growth — used by scripts/quality_gate.py --soak)."""
     if os.path.exists(os.path.join(path, "sparse")):
         return read_colmap_scene(path, images_dir, eval_split)
     if os.path.exists(os.path.join(path, "transforms_train.json")):
-        return read_blender_scene(path, white_background, eval_split)
+        kw = ({} if num_init_points is None
+              else {"num_init_points": num_init_points})
+        return read_blender_scene(path, white_background, eval_split, **kw)
     raise ValueError(f"could not recognize scene type at {path!r}")
 
 
@@ -268,8 +275,10 @@ class Scene:
     def load(cls, path: str, images_dir: Optional[str] = None,
              resolution: int = -1, white_background: bool = False,
              eval_split: bool = False, shuffle: bool = True,
-             seed: int = 0, resolution_scales=(1.0,)) -> "Scene":
-        info = read_scene(path, images_dir, white_background, eval_split)
+             seed: int = 0, resolution_scales=(1.0,),
+             num_init_points: Optional[int] = None) -> "Scene":
+        info = read_scene(path, images_dir, white_background, eval_split,
+                          num_init_points=num_init_points)
         train_by_scale, test_by_scale = {}, {}
         rng = np.random.default_rng(seed)
         order = None
