@@ -8,10 +8,12 @@ off so the measurement is the steady-state per-iteration cost; the warmup
 window lets the Trainer's adaptive capacity caps settle first (growth
 events are reported — a settled run has none inside the timed window).
 
-A uniform random cloud is deliberately NOT used here: it is a
-transparency worst case whose true per-tile depth demand (~2.5x a trained
-scene's) the adaptive caps will faithfully size to — bench.py covers that
-pileup regime with fidelity-checked fixed caps.
+A uniform random cloud is deliberately NOT used here: bench.py covers
+that transparency-pileup regime with fidelity-checked fixed caps. (The
+shell is NOT the milder workload — its silhouette tiles pile up
+near-tangent disks to a deeper true demand than the pileup's: tile 8272
+vs 4961 at 800px/128K, scripts/fidelity_probe.py — which is exactly why
+this bench runs the adaptive caps the production Trainer runs.)
 
 Usage: python scripts/train_bench.py [iters] [W] [N_log2]
 """

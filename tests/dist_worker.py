@@ -62,9 +62,16 @@ def main():
                             tree)
 
     losses = []
-    for shard_splats in (False, True):
+    # rows (balanced windows), gaussian parallelism (all-gather), and
+    # gaussian parallelism with the strip-routed all_to_all exchange —
+    # the same three modes the driver dryrun compiles single-process.
+    for shard_splats, xfer in ((False, 0), (True, 0), (True, 128)):
+        s = settings if xfer == 0 else RasterSettings(
+            width=w, height=h, sh_degree=3, backend="pallas",
+            bin_capacity=128, tile_capacity=128, debug=True,
+            xfer_capacity=xfer)
         step_fn = make_train_step(
-            settings, optim_lib.OptimConfig(), lambda_dssim=0.2,
+            s, optim_lib.OptimConfig(), lambda_dssim=0.2,
             spatial_lr_scale=1.0, mesh=mesh, shard_splats=shard_splats,
         )
         model = put(splats_lib.create_from_pcd(pts, cols, capacity=n))
@@ -79,8 +86,9 @@ def main():
         loss = float(metrics["loss"])
         assert np.isfinite(loss), metrics
         losses.append(round(loss, 6))
+    assert losses[1] == losses[2], losses  # routed == all-gather exactly
     print(f"DIST_OK pid={jax.process_index()} rows_loss={losses[0]} "
-          f"splats_loss={losses[1]}", flush=True)
+          f"splats_loss={losses[1]} routed_loss={losses[2]}", flush=True)
 
 
 if __name__ == "__main__":

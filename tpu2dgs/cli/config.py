@@ -74,14 +74,26 @@ class OptimizationParams:
 
 @dataclasses.dataclass
 class RasterParams:
-    """TPU-specific rasterizer knobs (no reference counterpart)."""
+    """TPU-specific rasterizer knobs (no reference counterpart).
+
+    The capacity knobs are INITIAL values — the Trainer's adaptive cap
+    growth raises any of them whose overflow counter fires (train/loop.py
+    OVERFLOW_CAP_OF)."""
 
     backend: str = "tiled"
     tile_px: int = 16
     coarse_tiles: int = 4
     bin_capacity: int = 4096
     tile_capacity: int = 512
+    col_capacity: int = 32768
+    vis_capacity: int = 0
+    grad_pack_capacity: int = 0
     chunk: int = 32
+    row_balance: str = "work"   # multi-device strip assignment: "work"
+                                # (traced work-quantile windows) | "static"
+    xfer_capacity: int = 0      # splat sharding: strip-routed all_to_all
+                                # survivor exchange rows per owner->strip
+                                # message (0 = all-gather path)
 
 
 def add_group(parser: argparse.ArgumentParser, cls, sentinel: bool = False):

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
         "100K, dataset_readers.py:236-244)")
     parser.add_argument("--camera_batch", type=int, default=1)
     parser.add_argument(
+        "--gt_cache_mb", type=float, default=None,
+        help="device-memory budget for pre-staged GT images; scenes over "
+        "it keep GT host-resident with async next-view prefetch "
+        "(default: pre-stage everything)")
+    parser.add_argument(
         "--n_devices", type=int, default=1,
         help="shard rendering over this many devices (0 = all available); "
         "tile rows are split across a jax.sharding.Mesh and splat "
@@ -141,7 +146,13 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         backend=raster_p.backend, tile_px=raster_p.tile_px,
         coarse_tiles=raster_p.coarse_tiles,
         bin_capacity=raster_p.bin_capacity,
-        tile_capacity=raster_p.tile_capacity, chunk=raster_p.chunk,
+        tile_capacity=raster_p.tile_capacity,
+        col_capacity=raster_p.col_capacity,
+        vis_capacity=raster_p.vis_capacity,
+        grad_pack_capacity=raster_p.grad_pack_capacity,
+        chunk=raster_p.chunk,
+        row_balance=raster_p.row_balance,
+        xfer_capacity=raster_p.xfer_capacity,
         depth_ratio=pipe_p.depth_ratio,
     )
 
@@ -190,6 +201,7 @@ def run_training(model_p, opt_p, pipe_p, raster_p, args):
         log_fn=log_fn, max_capacity=args.max_capacity, mesh=mesh,
         shard_splats=(args.shard_mode == "splats" and mesh is not None),
         profile_dir=args.profile_dir or None,
+        gt_cache_mb=args.gt_cache_mb,
     )
     if not args.disable_viewer:
         from tpu2dgs.viewer.network_gui import NetworkGUI

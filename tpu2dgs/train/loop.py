@@ -346,9 +346,21 @@ class Trainer:
         # lists, SURVEY.md §2.10); this closes the loop so a scene whose
         # depth complexity exceeds the configured caps heals itself instead
         # of silently truncating tails until a human reads the counters.
+        # Growth ceilings. col/bin are JOINTLY bounded by scoped-VMEM
+        # feasibility of the L2 select kernel, not by HBM: its input block
+        # is (24, col_cap) and its output block (24, bin_cap) f32 (~96
+        # B/row, both double-buffered), so growth past
+        # 2*(col+bin)*96 B ~ 16 MB turns the NEXT recompile into a Mosaic
+        # OOM (measured: col 65536 + bin 24576 fails at 16.5M/16M scoped;
+        # col 61440 + bin 20480 = 15.7M runs). Scenes whose true column
+        # demand exceeds the ceiling (e.g. 100K visible splats on a
+        # one-column 128px image) keep a nonzero col overflow counter
+        # instead of dying — depth-order column truncation drops the
+        # DEEPEST candidates, which alpha saturation makes visually
+        # negligible. grad_pack is HBM-resident (no VMEM ceiling).
         self.max_caps = {
-            "tile_capacity": 16_384, "bin_capacity": 65_536,
-            "col_capacity": 262_144, "grad_pack_capacity": 262_144,
+            "tile_capacity": 16_384, "bin_capacity": 20_480,
+            "col_capacity": 61_440, "grad_pack_capacity": 1 << 22,
             "xfer_capacity": 262_144,
             **(max_caps or {}),
         }
