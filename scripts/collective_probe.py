@@ -76,16 +76,11 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     k_loc = n // 8
 
-    for label, xfer in [("all-gather (xfer=0)", 0),
-                        (f"routed (xfer={max(256, k_loc // 4)})",
-                         max(256, k_loc // 4))]:
-        settings = RasterSettings(
-            width=w, height=h, sh_degree=3, backend="pallas", debug=True,
-            bin_capacity=2048, tile_capacity=1024, xfer_capacity=xfer)
-
+    def measure(label, settings, shard_splats):
         def loss(xyz, scaling, rotation, opacity, features):
             out = render(cam, settings, xyz, scaling, rotation, opacity,
-                         features, bg, mesh=mesh, shard_splats=True)
+                         features, bg, mesh=mesh,
+                         shard_splats=shard_splats)
             return jnp.sum(out["render"] ** 2) + jnp.sum(out["rend_dist"])
 
         txt = (jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
@@ -95,6 +90,20 @@ def main():
         print(f"{label}: {total/1e6:.2f} MB/frame total")
         for k, v in sorted(per_kind.items()):
             print(f"    {k:20s} {v/1e6:8.2f} MB")
+
+    base = dict(width=w, height=h, sh_degree=3, backend="pallas",
+                debug=True, bin_capacity=2048, tile_capacity=1024)
+    # Gaussian parallelism: all-gather vs strip-routed exchange.
+    for label, xfer in [("splats all-gather (xfer=0)", 0),
+                        (f"splats routed (xfer={max(256, k_loc // 4)})",
+                         max(256, k_loc // 4))]:
+        measure(label, RasterSettings(**base, xfer_capacity=xfer), True)
+    # Tile-row sharding: static strips vs balanced windows (the balanced
+    # row-gather reassembly is the only extra collective; the dominant
+    # term either way is the replicated-splat gradient psum).
+    for mode in ("static", "work"):
+        measure(f"rows row_balance={mode}",
+                RasterSettings(**base, row_balance=mode), False)
 
 
 if __name__ == "__main__":
