@@ -120,12 +120,18 @@ def main():
     # to 15% slow, a 3-window median still wobbles +-3% run to run).
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     windows = int(os.environ.get("BENCH_WINDOWS", "6"))
+    sync = jax.jit(lambda g: jnp.sum(g[0]))
+    float(sync(grads))  # drain the queue before the first window
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             grads = step(*scene)
-        jax.block_until_ready(grads)
+        # A scalar READBACK is the completion barrier: block_until_ready
+        # on remote-tunnel (axon) futures intermittently returns early
+        # (observed: a whole window timed as ~0, printing 16390 Mpix/s).
+        # The ~3 ms readback is <1% of a window.
+        float(sync(grads))
         times.append((time.perf_counter() - t0) / iters)
     dt = min(times)
 

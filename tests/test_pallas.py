@@ -147,9 +147,9 @@ def test_effective_counts_respect_early_exit():
     # tile 2: never blended (-1) -> 0 rows; tile 3: no contributor -> 0
     # (effective counts are GROUP=128-aligned: the backward DMAs whole
     # 128-entry groups into the packed array)
-    eff = np.asarray(pb._effective_counts(counts, out))
+    eff = np.asarray(pb._effective_counts(counts, out, 128))
     np.testing.assert_array_equal(eff, [256, 128, 0, 0])
-    off = np.asarray(pb._packed_offsets(counts, out))
+    off = np.asarray(pb._packed_offsets(counts, out, 128))
     np.testing.assert_array_equal(off, [0, 256, 384, 384])
 
 

@@ -89,7 +89,16 @@ OUT_CH = 16
 BY = 16   # block pixel rows (BY=8 retested after the SMEM-read fix:
           # 12.4 vs 14.3 Mpix/s — fixed per-entry cost still dominates)
 BX = 128  # block pixel cols (one lane register row)
-CHUNK = 32  # splats per early-exit check
+# Splats per early-exit check. Env-overridable for tuning sweeps only
+# (must keep CHUNK*OUTREC a multiple of 128 for the backward's flat-lane
+# scratch, and GROUP a multiple of CHUNK). Round-5 sweep on v5e (bench,
+# tile cap 2048): 32/128 = 16.2-16.3 Mpix/s, 64/128 = 16.48,
+# 32/256 = 16.41, 64/256 = 16.53-16.69 -> 64/256 is the default (the
+# round-2 "CHUNK=64 rejected" predates count-proportional staging, whose
+# group DMA amortizes better over bigger chunks; early exit is rarely
+# taken mid-group on real loads, so coarser exit checks cost nothing).
+import os as _os
+CHUNK = int(_os.environ.get("TPU2DGS_CHUNK", "64"))
 
 
 def pack_records(splats: SplatScreen) -> jnp.ndarray:
@@ -163,13 +172,14 @@ def _splat_response(r, px, py):
 # capk 2048, 79% of it padding — and made capacity itself expensive,
 # forcing truncation (capk 2048 cut 16% of true entries on the bench
 # pileup). Count-proportional staging decouples fidelity from cost.
-GROUP = 128
+GROUP = int(_os.environ.get("TPU2DGS_GROUP", "256"))
 GC = GROUP // CHUNK
+assert CHUNK * OUTREC % 128 == 0 and GROUP % CHUNK == 0, (CHUNK, GROUP)
 
 
-def _rec_dma(rec_ref, smem, sem, g, buf):
+def _rec_dma(rec_ref, smem, sem, g, buf, group):
     return pltpu.make_async_copy(
-        rec_ref.at[0, :, pl.ds(g * GROUP, GROUP)], smem.at[buf],
+        rec_ref.at[0, :, pl.ds(g * group, group)], smem.at[buf],
         sem.at[buf])
 
 
@@ -183,16 +193,17 @@ def _read_rec(smem, buf, off):
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, smem, sem, *,
-                nty: int, unroll: bool):
+                nty: int, group: int, unroll: bool):
     # Grid is COLUMN-major (tile i -> column i//nty, row i%nty) so that the
     # backward kernel's per-column gradient accumulator block stays
     # resident across all of a column's tiles.
+    gc = group // CHUNK
     i = pl.program_id(0)
     count = counts_ref[i]
 
     @pl.when(count > 0)
     def _():
-        _rec_dma(rec_ref, smem, sem, 0, 0).start()
+        _rec_dma(rec_ref, smem, sem, 0, 0, group).start()
     x0 = ((i // nty) * BX).astype(jnp.float32)
     y0 = (((i % nty) + row0_ref[0]) * BY).astype(jnp.float32)
     # integer iota then cast: Mosaic rejects float iota
@@ -215,22 +226,22 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, smem, sem, *,
 
     def chunk_body(c, state):
         j0 = c * CHUNK
-        g = c // GC
+        g = c // gc
         buf = g % 2
 
-        @pl.when(c % GC == 0)
+        @pl.when(c % gc == 0)
         def _():
-            _rec_dma(rec_ref, smem, sem, g, buf).wait()
+            _rec_dma(rec_ref, smem, sem, g, buf, group).wait()
 
-        @pl.when((c % GC == 0) & ((g + 1) * GROUP < count))
+        @pl.when((c % gc == 0) & ((g + 1) * group < count))
         def _():
-            _rec_dma(rec_ref, smem, sem, g + 1, 1 - buf).start()
+            _rec_dma(rec_ref, smem, sem, g + 1, 1 - buf, group).start()
 
         def splat_body(k, state):
             (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist,
              last) = state
             jj = j0 + k
-            r = _read_rec(smem, buf, (c % GC) * CHUNK + k)
+            r = _read_rec(smem, buf, (c % gc) * CHUNK + k)
             alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
                 r, px, py)
             ok = hit & (alive > 0.0) & (jj < count)
@@ -281,11 +292,11 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, smem, sem, *,
 
     # Early exit can leave one prefetched group's DMA un-consumed; drain it
     # (semaphores must be zero at kernel end).
-    gp = (c_exit - 1) // GC + 1
+    gp = (c_exit - 1) // gc + 1
 
-    @pl.when((c_exit > 0) & (gp * GROUP < count))
+    @pl.when((c_exit > 0) & (gp * group < count))
     def _():
-        _rec_dma(rec_ref, smem, sem, gp, gp % 2).wait()
+        _rec_dma(rec_ref, smem, sem, gp, gp % 2, group).wait()
 
     (T, alive, r0, g0, b0, dep, n0, n1, n2, med, m1, m2, dist, last) = state
     out_ref[0, 0] = r0
@@ -308,7 +319,7 @@ def _fwd_kernel(counts_ref, row0_ref, rec_ref, out_ref, smem, sem, *,
 
 def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
                 dpack_ref, scratch, smem, sem, gdma, gsem, pend, *,
-                nty: int, pack_cap: int, unroll: bool):
+                nty: int, pack_cap: int, group: int, unroll: bool):
     """Backward blend: re-walks each tile back-to-front with suffix
     accumulators, emitting GLOBALLY-PACKED gradient rows.
 
@@ -354,6 +365,7 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
     cycles/entry dynamic-sublane RMW) and the padded XLA scatter-add (~13
     cycles/row but over ALL padded rows). Global packing keeps the cheap
     per-chunk stores AND gives the scatter only live rows."""
+    gc = group // CHUNK
     i = pl.program_id(0)
     count = counts_ref[i]
     off = off_ref[i]
@@ -398,30 +410,30 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
 
     @pl.when(start_chunk > 0)
     def _():
-        g0 = (start_chunk - 1) // GC
-        _rec_dma(rec_ref, smem, sem, g0, g0 % 2).start()
+        g0 = (start_chunk - 1) // gc
+        _rec_dma(rec_ref, smem, sem, g0, g0 % 2, group).start()
 
     def chunk_body(c, carry):
         j0 = c * CHUNK
-        g = c // GC
+        g = c // gc
         buf = g % 2
         # Descending walk: a group's first visit is at its highest chunk
         # (or the entry chunk); stage it and prefetch the group below.
-        first_visit = (c % GC == GC - 1) | (c == start_chunk - 1)
+        first_visit = (c % gc == gc - 1) | (c == start_chunk - 1)
 
         @pl.when(first_visit)
         def _():
-            _rec_dma(rec_ref, smem, sem, g, buf).wait()
+            _rec_dma(rec_ref, smem, sem, g, buf, group).wait()
 
         @pl.when(first_visit & (g > 0))
         def _():
-            _rec_dma(rec_ref, smem, sem, g - 1, 1 - buf).start()
+            _rec_dma(rec_ref, smem, sem, g - 1, 1 - buf, group).start()
 
         def splat_body(kk, carry):
             k = CHUNK - 1 - kk
             jj = j0 + k
             (T_cur, acc_w, s_w, s_wm, acc_a, med_done, s_wm2) = carry
-            r = _read_rec(smem, buf, (c % GC) * CHUNK + k)
+            r = _read_rec(smem, buf, (c % gc) * CHUNK + k)
             alpha, depthp, hit, G, su, sv, inv, nc, u3 = _splat_response(
                 r, px, py)
             fj = jj.astype(jnp.float32)
@@ -540,7 +552,7 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             # recovers it exactly); zero past `count` so stray rows
             # scatter zeros to slot 0.
             sl = jnp.where(jj < count,
-                           smem[buf, 21, (c % GC) * CHUNK + k], 0.0)
+                           smem[buf, 21, (c % gc) * CHUNK + k], 0.0)
             rows[19] = lane0 * sl
             # (Paired (2,BX) stores measured even with singles — the
             # sublane concatenate costs what the saved store gains.)
@@ -562,7 +574,7 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
         # its highest walked chunk) retire any in-flight DMA on this
         # buffer, then zero it — partial top groups and count-gated chunks
         # must contribute zero rows to the reserved group region.
-        grows = GROUP * OUTREC // 128
+        grows = group * OUTREC // 128
         crows = CHUNK * OUTREC // 128
 
         @pl.when(first_visit)
@@ -570,18 +582,18 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
             @pl.when(pend[buf, 0] == 1)
             def _():
                 _grad_group_copy(gdma, dpack_ref, gsem, buf,
-                                 pend[buf, 1]).wait()
+                                 pend[buf, 1], group).wait()
                 pend[buf, 0] = 0
             gdma[pl.ds(buf * grows, grows), :] = jnp.zeros(
                 (grows, 128), jnp.float32)
 
-        gdma[pl.ds(buf * grows + (c % GC) * crows, crows), :] = rows
+        gdma[pl.ds(buf * grows + (c % gc) * crows, crows), :] = rows
 
         # Group complete at its lowest chunk: DMA it to its packed slot.
-        @pl.when((c % GC == 0) & (off + g * GROUP + GROUP <= pack_cap))
+        @pl.when((c % gc == 0) & (off + g * group + group <= pack_cap))
         def _():
-            base = (off + g * GROUP) * OUTREC // 128
-            _grad_group_copy(gdma, dpack_ref, gsem, buf, base).start()
+            base = (off + g * group) * OUTREC // 128
+            _grad_group_copy(gdma, dpack_ref, gsem, buf, base, group).start()
             pend[buf, 0] = 1
             pend[buf, 1] = base
         return carry
@@ -605,15 +617,15 @@ def _bwd_kernel(counts_ref, row0_ref, off_ref, rec_ref, out_ref, dout_ref,
     for b in range(2):
         @pl.when(pend[b, 0] == 1)
         def _(b=b):
-            _grad_group_copy(gdma, dpack_ref, gsem, b, pend[b, 1]).wait()
+            _grad_group_copy(gdma, dpack_ref, gsem, b, pend[b, 1], group).wait()
             pend[b, 0] = 0
 
 
-def _grad_group_copy(gdma, dpack_ref, gsem, buf, base):
-    """Async copy descriptor for one staged gradient group: 20 flat lane
-    rows from the staging buffer half `buf` to packed rows [base, base+20)
+def _grad_group_copy(gdma, dpack_ref, gsem, buf, base, group):
+    """Async copy descriptor for one staged gradient group: group*OUTREC/128
+    flat lane rows from the staging buffer half `buf` to their packed slot
     of the HBM-resident output."""
-    grows = GROUP * OUTREC // 128
+    grows = group * OUTREC // 128
     return pltpu.make_async_copy(
         gdma.at[pl.ds(buf * grows, grows), :],
         dpack_ref.at[pl.ds(base, grows), :],
@@ -632,6 +644,7 @@ class PallasMaps(NamedTuple):
 def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
     """rec3: (T, NCH, capk) channel-major per-tile record lists."""
     t, nch, _ = rec3.shape
+    group = min(GROUP, capk)  # staging granularity never exceeds capacity
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
@@ -648,12 +661,12 @@ def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
                                lambda i, counts, row0: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((2, nch, GROUP), jnp.float32),
+            pltpu.SMEM((2, nch, group), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, nty=nty,
+        functools.partial(_fwd_kernel, nty=nty, group=group,
                           unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, OUT_CH, BY, BX), jnp.float32),
@@ -661,32 +674,33 @@ def _blend_call(rec3, counts, row0, *, nty, capk, interpret):
     )(counts, row0, rec3)
 
 
-def _effective_counts(counts, out):
-    """Per-tile GROUP-aligned EFFECTIVE entry counts: entries past the
+def _effective_counts(counts, out, group):
+    """Per-tile group-aligned EFFECTIVE entry counts: entries past the
     tile's last contributor (forward early exit, out channel 12) are never
     walked by the backward, so they reserve no packed gradient rows.
-    GROUP (128-entry) alignment makes every tile's packed region a whole
-    number of the backward's DMA units (one group = GROUP*OUTREC/128 = 20
-    flat lane rows), so the HBM-resident packed array is written in
-    fixed-size group copies; the <GROUP/2 zero slack rows per tile
-    scatter +=0 to slot 0."""
+    `group` (= min(GROUP, capk)) alignment makes every tile's packed
+    region a whole number of the backward's DMA units (one group =
+    group*OUTREC/128 flat lane rows), so the HBM-resident packed array is
+    written in fixed-size group copies; the <group/2 zero slack rows per
+    tile scatter +=0 to slot 0."""
     li = jnp.max(out[:, 12], axis=(1, 2)).astype(jnp.int32)  # -1 = none
-    walked = jnp.where(li < 0, 0, (li // GROUP + 1) * GROUP)
-    return jnp.minimum(-(-counts // GROUP) * GROUP, walked)
+    walked = jnp.where(li < 0, 0, (li // group + 1) * group)
+    return jnp.minimum(-(-counts // group) * group, walked)
 
 
-def _packed_offsets(counts, out):
+def _packed_offsets(counts, out, group):
     """Global packed row cursor per tile: exclusive prefix of the
     group-aligned effective counts in grid (column-major tile) order.
-    Group alignment keeps every DMA's flat-lane offset (off+g*GROUP)*
+    Group alignment keeps every DMA's flat-lane offset (off+g*group)*
     OUTREC/128 integral and every group copy disjoint."""
-    cc = _effective_counts(counts, out)
+    cc = _effective_counts(counts, out, group)
     return (jnp.cumsum(cc) - cc).astype(jnp.int32)
 
 
 def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
                     pack_cap, interpret):
     t, nch, _ = rec3.shape
+    group = min(GROUP, capk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t,),
@@ -707,16 +721,16 @@ def _blend_bwd_call(rec3, counts, off, row0, out, dout, *, nty, capk,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((CHUNK * OUTREC // 128, 128, BX), jnp.float32),
-            pltpu.SMEM((2, nch, GROUP), jnp.float32),
+            pltpu.SMEM((2, nch, group), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             # double-buffered group staging for the packed gradient rows
-            pltpu.VMEM((2 * GROUP * OUTREC // 128, 128), jnp.float32),
+            pltpu.VMEM((2 * group * OUTREC // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2, 2), jnp.int32),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, nty=nty,
+        functools.partial(_bwd_kernel, nty=nty, group=group,
                           pack_cap=pack_cap, unroll=not interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -756,7 +770,7 @@ def _blend_fwd(rec_c, rec3i, counts, row0, nbx, nty, capk, pack_cap,
 
 def _blend_bwd(nbx, nty, capk, pack_cap, interpret, res, dout):
     rec_c, rec3, counts, row0, out = res
-    eff = _effective_counts(counts, out)
+    eff = _effective_counts(counts, out, min(GROUP, capk))
     off = (jnp.cumsum(eff) - eff).astype(jnp.int32)
     dpack = _blend_bwd_call(rec3, counts, off, row0, out, dout, nty=nty,
                             capk=capk, pack_cap=pack_cap,
@@ -879,6 +893,13 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
     # callers outside the Trainer's adaptive-cap healing loop.
     pack_cap = settings.grad_pack_capacity or (16 * _round128(capk) * nbx)
     pack_cap = min(_round128(pack_cap), _round128(t * capk))
+    # pack_cap must be a whole number of staging groups: the packed
+    # offsets are group-aligned, and a boundary group that half-fits
+    # would be dropped while the demand mask still marks its rows live —
+    # the scatter would read unwritten HBM. Round UP so every group
+    # below pack_cap lands whole.
+    grp = min(GROUP, capk)
+    pack_cap = -(-pack_cap // grp) * grp
 
     row0 = jnp.asarray(tile_row0, jnp.int32).reshape(1)
     # int32 bitcast at the custom_vjp boundary: index-like data owes no
@@ -895,7 +916,7 @@ def blend_binned(rec_c, rec3, raw_counts, settings, bg_color, nbx, nty,
 
     # Global packed-row demand = sum of all tiles' chunk-aligned effective
     # counts (exactly what the backward will store; see _packed_offsets).
-    pack_demand = jnp.sum(_effective_counts(counts, out))
+    pack_demand = jnp.sum(_effective_counts(counts, out, min(GROUP, capk)))
 
     t_final = untile(3)
     image = jnp.stack([untile(0), untile(1), untile(2)], axis=-1)
