@@ -83,12 +83,13 @@ def main():
     for _ in range(10):  # warm
         model, adam, metrics = step_fn(
             model, adam, cam0, gt0, bg, jnp.float32(1.0), lam_n, lam_d)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # scalar readback: block_until_ready on the
+    # axon tunnel intermittently returns early (see bench.py)
     t0 = time.perf_counter()
     for i in range(iters):
         model, adam, metrics = step_fn(
             model, adam, cam0, gt0, bg, jnp.float32(i), lam_n, lam_d)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt_raw = (time.perf_counter() - t0) / iters * 1e3
 
     # (a2) raw loop but rotating cameras like the Trainer does
@@ -98,7 +99,7 @@ def main():
         model, adam, metrics = step_fn(
             model, adam, (tr._cam_stacked, tr._idx_scalars[ci]),
             tr._gt_images[ci], bg, jnp.float32(i), lam_n, lam_d)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt_rot = (time.perf_counter() - t0) / iters * 1e3
 
     # (a3/a4) isolate WHICH rotating operand costs: cams only / gt only
@@ -108,7 +109,7 @@ def main():
         model, adam, metrics = step_fn(
             model, adam, (tr._cam_stacked, tr._idx_scalars[ci]), gt0, bg,
             jnp.float32(i), lam_n, lam_d)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt_rc = (time.perf_counter() - t0) / iters * 1e3
     t0 = time.perf_counter()
     for i in range(iters):
@@ -116,7 +117,7 @@ def main():
         model, adam, metrics = step_fn(
             model, adam, cam0, tr._gt_images[ci], bg,
             jnp.float32(i), lam_n, lam_d)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt_rg = (time.perf_counter() - t0) / iters * 1e3
 
     # ---- (b) Trainer loop ----
