@@ -89,7 +89,8 @@ def main():
     out = jax.jit(lambda r3: pb._blend_call(
         r3, counts, row0, nty=nty, capk=capk, interpret=False))(rec3)
     dout = jnp.ones_like(out)
-    off = jax.jit(pb._packed_offsets)(counts, out)
+    grp = min(pb.GROUP, capk)
+    off = jax.jit(lambda c, o: pb._packed_offsets(c, o, grp))(counts, out)
 
     if want("bwdkernel"):
         chain_timed("bwd kernel only", lambda r3: jnp.sum(
