@@ -4,6 +4,8 @@ Times each memory-movement and kernel component in isolation at the bench
 shape, via the same chained in-graph method as profile_raster.py.
 
 Usage: python scripts/microbench.py [name ...]
+Env: MICRO_SCENE=shell uses the opaque-shell workload at its zero-overflow
+caps (tile 13440/bin 18048/col 61440) instead of the bench pileup.
 """
 
 import sys
@@ -32,8 +34,9 @@ def main():
 
     w = h = 800
     n = 1 << 17
-    from tpu2dgs.eval.synthetic import make_bench_scene
-    cam, scene = make_bench_scene(w, h, n)
+    from tpu2dgs.eval.synthetic import make_bench_scene, make_shell_scene
+    shell = _os.environ.get("MICRO_SCENE") == "shell"
+    cam, scene = (make_shell_scene if shell else make_bench_scene)(w, h, n)
 
     def do_pre(xyz, scaling, rotation, opacity, features):
         return pre.preprocess(
@@ -43,7 +46,8 @@ def main():
     splats = jax.jit(do_pre)(*scene)
     nbx = -(-w // pb.BX)
     nty = -(-h // pb.BY)
-    cap, bin_cap, col_cap = 2048, 8192, 32768
+    cap, bin_cap, col_cap = ((13440, 18048, 61440) if shell
+                             else (2048, 8192, 32768))
 
     comp = jax.jit(lambda s: binning.compact_visible(s, n))(splats)
     rec_c = jax.jit(
@@ -60,7 +64,7 @@ def main():
     counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
     row0 = jnp.zeros((1,), jnp.int32)
     t = nbx * nty
-    pack_cap = 135168
+    pack_cap = 450560 if shell else 135168
 
     live = int(jnp.sum(counts))
     print(f"tiles={t} capk={capk} live_entries={live} "
