@@ -167,3 +167,34 @@ def test_pallas_mean2d_offset_gradient():
     g = jax.grad(loss)(jnp.zeros((12, 2)))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.linalg.norm(g)) > 1e-6
+
+
+def test_pallas_group_unaligned_capacity():
+    """A tile capacity that is an odd multiple of 128 (e.g. an
+    adaptive-growth 384 or 13440) must still blend correctly: with
+    GROUP=256 staging, an unrounded capk made the LAST record group's DMA
+    slice run past the block — silently blending wrong records with zero
+    overflow reported (round-5 review finding; _round_group now aligns
+    capk to the staging group). Deep tiles (counts > 256) force the
+    multi-group walk that exposed it."""
+    w, h = 128, 32
+    cam = _cam(w, h)
+    # pile many splats into the same tiles so counts exceed 2 groups
+    xyz, scaling, rotation, opacity, features = _random_scene(n=400, seed=31)
+    xyz = xyz.at[:, :2].set(xyz[:, :2] * 0.15)
+    scene = (xyz, scaling, rotation, opacity, features)
+    bg = jnp.array([0.1, 0.2, 0.05])
+
+    out_o = render(cam, _settings(w, h, "oracle"), *scene, bg)
+    settings = _settings(w, h, "pallas", bin_capacity=512,
+                         tile_capacity=384, debug=True)  # 384 % 256 != 0
+    out_p = render(cam, settings, *scene, bg)
+    # capacity-truncated tiles can differ from the oracle legitimately;
+    # require zero overflow so the comparison is exact
+    assert float(out_p["tile_overflow_frac"]) == 0.0, "test needs caps >= demand"
+    assert float(out_p["tile_count_max"]) > 256, "test needs a multi-group walk"
+    for k in ["render", "rend_alpha", "depth_median", "rend_dist"]:
+        np.testing.assert_allclose(
+            np.asarray(out_p[k]), np.asarray(out_o[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k,
+        )

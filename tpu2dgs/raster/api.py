@@ -82,6 +82,16 @@ class RasterSettings:
     debug: bool = False          # pallas: interpreter mode ("sanitizer",
                                  # the reference rasterizer's debug flag)
 
+    def __post_init__(self):
+        if self.row_balance not in ("work", "static"):
+            # A typo here would silently fall back to static strips and
+            # lose the load-balance win the flag exists for.
+            raise ValueError(
+                f"row_balance must be 'work' or 'static', "
+                f"got {self.row_balance!r}")
+        if self.backend not in ("oracle", "tiled", "pallas"):
+            raise ValueError(f"unknown raster backend {self.backend!r}")
+
 
 def render(
     cam: CameraArrays,

@@ -162,7 +162,7 @@ def _splat_response(r, px, py):
     return alpha, depthp, hit, G, su, sv, inv, not_clamped, use3d
 
 
-# Record staging granularity: GROUP entries (= GC chunks) per VMEM->SMEM
+# Record staging granularity: group = min(GROUP, capk) entries per VMEM->SMEM
 # DMA. The per-tile record block rides HBM->VMEM on Pallas' pipelined
 # block fetch (full HBM bandwidth, capk-proportional but cheap); only the
 # CHUNKS ACTUALLY WALKED are staged into SMEM for scalar reads, double
@@ -173,8 +173,16 @@ def _splat_response(r, px, py):
 # forcing truncation (capk 2048 cut 16% of true entries on the bench
 # pileup). Count-proportional staging decouples fidelity from cost.
 GROUP = int(_os.environ.get("TPU2DGS_GROUP", "256"))
-GC = GROUP // CHUNK
 assert CHUNK * OUTREC % 128 == 0 and GROUP % CHUNK == 0, (CHUNK, GROUP)
+assert GROUP % 128 == 0, GROUP  # _round_group alignment unit
+
+
+def _round_group(x: int) -> int:
+    """Round a per-tile capacity up so the record-staging group
+    (min(GROUP, capk)) divides it exactly: 128-multiples below GROUP
+    (group == capk there), whole GROUP-multiples above."""
+    x = max(128, -(-x // 128) * 128)
+    return x if x <= GROUP else -(-x // GROUP) * GROUP
 
 
 def _rec_dma(rec_ref, smem, sem, g, buf, group):
@@ -1023,7 +1031,14 @@ def _bin_records(x0, x1, y0, y1, n_vis, rec_sg, nbx, nty, bin_cap, cap,
     kp = _round128(x0.shape[0])
     col_cap = _round128(min(col_cap, kp))
     bin_capk = _round128(min(bin_cap, col_cap))
-    capk = _round128(min(cap, bin_capk))
+    # capk must be a whole number of record-staging groups: the blend
+    # kernels DMA records in min(GROUP, capk)-entry groups, and a capk
+    # that is an odd multiple of 128 (e.g. an adaptive-growth 13440) would
+    # make the LAST group's slice run past the block — a silent
+    # wrong-records blend in interpret mode (dynamic-slice clamping) and
+    # an out-of-bounds DMA on hardware, with no overflow counter firing
+    # (round-5 review finding, reproduced at capk=384).
+    capk = _round_group(min(cap, bin_capk))
 
     # L1: columns over the strip's full y range (AABB-only test: a
     # full-height column strip gains nothing from the exact test). The

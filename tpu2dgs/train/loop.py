@@ -377,6 +377,7 @@ class Trainer:
             lambda *xs: jnp.stack(xs), *self._cam_arrays)
             if self._cam_arrays else None)
         self._idx_scalars = [jnp.int32(i) for i in range(len(cameras))]
+        self._scalar_cache: dict[float, jax.Array] = {}
         # GT images: pre-staged on device when they fit the budget
         # (repeated host->device image uploads per step are pure waste —
         # the reference re-uploads every iteration, train.py:72). A scene
@@ -426,25 +427,33 @@ class Trainer:
             self._cam_stack = list(self.rng.permutation(len(self.cameras)))
         return int(self._cam_stack.pop())
 
-    def _peek_camera_index(self) -> int:
-        """Index the NEXT _next_camera_index call will return (refilling
-        the shuffled stack if needed) — the prefetch target."""
+    def _peek_camera_indices(self, k: int) -> list[int]:
+        """The next up-to-k indices _next_camera_index will return
+        (refilling the shuffled stack if empty) — the prefetch targets.
+        Looks only within the current epoch's stack: the next epoch's
+        permutation is not drawn early."""
         if not self._cam_stack:
             self._cam_stack = list(self.rng.permutation(len(self.cameras)))
-        return int(self._cam_stack[-1])
+        return [int(x) for x in self._cam_stack[-k:][::-1]]
 
     def _gt_for(self, ci: int) -> jax.Array:
         """Device GT for view ci; under a gt_cache_mb budget, consume the
         in-flight prefetch (or upload synchronously on a miss) and start
-        the NEXT view's async upload so it overlaps this step's compute."""
+        async uploads for the UPCOMING views so they overlap this step's
+        compute — the whole next batch when camera_batch > 1, not just
+        the stack top (a top-only peek left B-1 of every batch's uploads
+        synchronous)."""
         if self.gt_prestaged:
             return self._gt_images[ci]
         arr = self._gt_prefetch.pop(ci, None)
         if arr is None:
             arr = jax.device_put(self._gt_np[ci])
-        nxt = self._peek_camera_index()
-        if nxt not in self._gt_prefetch and len(self._gt_prefetch) < 3:
-            self._gt_prefetch[nxt] = jax.device_put(self._gt_np[nxt])
+        depth = max(3, self.cfg.camera_batch)
+        for nxt in self._peek_camera_indices(depth):
+            if len(self._gt_prefetch) >= depth:
+                break
+            if nxt not in self._gt_prefetch:
+                self._gt_prefetch[nxt] = jax.device_put(self._gt_np[nxt])
         return arr
 
     def _split_key(self) -> jax.Array:
@@ -452,25 +461,24 @@ class Trainer:
         return sub
 
     def _lam_scalar(self, v: float) -> jax.Array:
-        cache = getattr(self, "_scalar_cache", None)
-        if cache is None:
-            cache = self._scalar_cache = {}
-        if v not in cache:
-            cache[v] = jnp.float32(v)
-        return cache[v]
+        if v not in self._scalar_cache:
+            self._scalar_cache[v] = jnp.float32(v)
+        return self._scalar_cache[v]
 
     def _current_cap(self, kwarg: str) -> int:
         val = self.raster_kwargs.get(kwarg)
         if val is None:
             val = getattr(RasterSettings, kwarg)  # dataclass field default
         if kwarg == "grad_pack_capacity" and not val:
-            # 0 = derived default: 16 * lane-rounded tile capacity * image
-            # tile columns (mirrors pallas_backend.blend_binned; the packed
+            # 0 = derived default: 16 * group-rounded tile capacity *
+            # image tile columns (mirrors pallas_backend.blend_binned —
+            # including the staging-group rounding of capk, so this stays
+            # an upper bound of the backend's own derivation; the packed
             # gradient rows are one GLOBAL array)
-            from tpu2dgs.raster.pallas_backend import BX
+            from tpu2dgs.raster.pallas_backend import BX, _round_group
 
             tc = self._current_cap("tile_capacity")
-            val = 16 * max(128, -(-tc // 128) * 128) * (-(-self.width // BX))
+            val = 16 * _round_group(tc) * (-(-self.width // BX))
         return int(val)
 
     def _maybe_grow_caps(self, it: int, metrics: dict) -> None:
