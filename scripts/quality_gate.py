@@ -196,16 +196,29 @@ def main(out_dir=None, iters=2000, res=128, soak=False):
     # backends' tile lists legitimately differ (exact-coverage vs AABB
     # selection — measured 32.9 dB at fixed 4096 caps on a 24K-splat
     # model), so the cross-check must compare untruncated renders.
+    def _retrying(fn, tries=2):
+        # The remote-TPU compile tunnel occasionally drops a request
+        # (HTTP 500 / helper SIGTERM — infrastructure, not code); one
+        # retry keeps a 25-minute gate run from dying at the last step.
+        for attempt in range(tries):
+            try:
+                return fn()
+            except Exception:
+                if attempt + 1 == tries:
+                    raise
+                import time as _t
+                _t.sleep(10)
+
     # The tiled backend's AABB hit counts exceed pallas's exact-coverage
     # counts, so take the max of both backends' demand probes.
     tile_d = bin_d = col_d = 128.0
     for be in ("pallas", "tiled"):
-        dp = render_op(
+        dp = _retrying(lambda be=be: render_op(
             cam_arrays, RasterSettings(width=w, height=h, sh_degree=3,
                                        backend=be, bin_capacity=16384,
                                        tile_capacity=8192,
                                        col_capacity=61440),
-            *targs, jnp.zeros(3), live=trained.live)
+            *targs, jnp.zeros(3), live=trained.live))
         tile_d = max(tile_d, float(dp["tile_count_max"]))
         bin_d = max(bin_d, float(dp["bin_count_max"]))
         col_d = max(col_d, float(dp.get("col_count_max", 128.0)))
@@ -215,8 +228,9 @@ def main(out_dir=None, iters=2000, res=128, soak=False):
                             bin_capacity=r128(bin_d),
                             tile_capacity=r128(tile_d),
                             col_capacity=min(r128(col_d), 61440))
-        cross[be] = render_op(cam_arrays, sx, *targs, jnp.zeros(3),
-                              live=trained.live)["render"]
+        cross[be] = _retrying(lambda sx=sx: render_op(
+            cam_arrays, sx, *targs, jnp.zeros(3),
+            live=trained.live)["render"])
     err = float(jnp.mean((jnp.clip(cross["pallas"], 0, 1)
                           - jnp.clip(cross["tiled"], 0, 1)) ** 2))
     cross_psnr = float(-10.0 * np.log10(max(err, 1e-12)))
