@@ -48,12 +48,15 @@ def build():
         # throughput/fidelity trade stays visible.
         tile_capacity=int(os.environ.get(
             "BENCH_TILE_CAP", 2048 if backend == "pallas" else 512)),
-        # GLOBAL packed gradient rows: this scene's measured demand (sum of
-        # GROUP-aligned effective tile counts) at cap 2048 is 146304, so
-        # 146432 keeps grad_pack_overflow at exactly 0 — no gradient tails
-        # dropped — while the scatter processes ~40% fewer rows than the
-        # generic default (16 * cap * tile columns).
-        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 146432)),
+        # GLOBAL packed gradient rows: this scene's measured demand (sum
+        # of staging-group-aligned effective tile counts) at cap 2048 /
+        # GROUP 256 is exactly 149248, which keeps grad_pack_overflow at
+        # 0 — no gradient tails dropped — while the scatter processes
+        # ~40% fewer rows than the generic default (16 * cap * tile
+        # columns). (The group=128-era value 146432 silently overflowed
+        # after the GROUP=256 retune: re-derive this whenever the staging
+        # group or tile cap changes.)
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 149248)),
         vis_capacity=int(os.environ.get("BENCH_VIS_CAP", 0)),
         col_capacity=int(os.environ.get("BENCH_COL_CAP", 32768)),
     )
@@ -93,7 +96,7 @@ def fidelity_check():
         width=w, height=h, sh_degree=3, backend="pallas",
         bin_capacity=8192, tile_capacity=int(os.environ.get(
             "BENCH_TILE_CAP", 2048)),
-        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 146432)))
+        grad_pack_capacity=int(os.environ.get("BENCH_PACK_CAP", 149248)))
     # zero-overflow settings for this scene (verified on v5e: all four
     # overflow fractions exactly 0 with these caps; no SMEM ceiling —
     # records stage per walked chunk group, so capacity costs only HBM)
