@@ -64,7 +64,9 @@ def main():
     counts = jnp.minimum(raw_counts, capk).astype(jnp.int32)
     row0 = jnp.zeros((1,), jnp.int32)
     t = nbx * nty
-    pack_cap = 450560 if shell else 135168
+    # exact measured pack demand at these caps under GROUP=256 staging
+    # (an undersized pack drops group stores and skews the bwd timing)
+    pack_cap = 450560 if shell else 149248
 
     live = int(jnp.sum(counts))
     print(f"tiles={t} capk={capk} live_entries={live} "
