@@ -100,6 +100,24 @@ def main():
 
     chain_timed("L3 fine tiles (exact)", lambda x: jnp.sum(
         l3(x)[0][:, 0, :128]), (bchan,))
+
+    # COUNT-ONLY variants (the round-6 CSR plan's step-1 cost): same hit
+    # tests, no value carry.
+    def l2c(x):
+        return select_kernel.select_counts(
+            l2_rects, x, bin_parent,
+            parent_counts=jnp.minimum(col_cnt, col_capk)[bin_parent],
+            box_idx=None, exact_idx=pb._EXACT_IDX, pad_vals=pb._REC_PADS)
+
+    chain_timed("L2 count-only", lambda x: jnp.sum(l2c(x)), (l2_in,))
+
+    def l3c(x):
+        return select_kernel.select_counts(
+            l3_rects, x, bin_of_tile,
+            parent_counts=jnp.minimum(bin_counts, bin_capk)[bin_of_tile],
+            box_idx=None, exact_idx=pb._EXACT_IDX, pad_vals=pb._REC_PADS)
+
+    chain_timed("L3 count-only", lambda x: jnp.sum(l3c(x)), (bchan,))
     print("col counts:", jnp.sum(jnp.minimum(col_cnt, col_capk)),
           "bin counts:", jnp.sum(jnp.minimum(bin_counts, bin_capk)), flush=True)
 

@@ -210,3 +210,61 @@ def test_pack_interval_idempotent():
     l2, h2 = binning.unpack_interval(binning.pack_interval(l1, h1))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_select_counts_matches_select_values():
+    """The count-only kernel (round-6 CSR step 1) must report EXACTLY the
+    counts select_values does — AABB path and exact-coverage path — while
+    carrying no values."""
+    from tpu2dgs.raster.select_kernel import select_counts, select_values
+
+    rng = np.random.default_rng(7)
+    NP, M, R, CAP = 2, 1024, 10, 256
+    cx0 = jnp.asarray(rng.uniform(0, 800, (NP, M)), jnp.float32)
+    cx1 = cx0 + jnp.asarray(rng.uniform(5, 60, (NP, M)), jnp.float32)
+    cy0 = jnp.asarray(rng.uniform(0, 800, (NP, M)), jnp.float32)
+    cy1 = cy0 + jnp.asarray(rng.uniform(5, 60, (NP, M)), jnp.float32)
+    rx0 = jnp.asarray(rng.uniform(0, 700, R), jnp.float32)
+    ry0 = jnp.asarray(rng.uniform(0, 700, R), jnp.float32)
+    rects = (rx0, rx0 + 127, ry0, ry0 + 63)
+    parent = jnp.asarray(rng.integers(0, NP, R), jnp.int32)
+    pcnt = jnp.asarray(rng.integers(0, M, R), jnp.int32)
+
+    # AABB path
+    boxes = (cx0, cx1, cy0, cy1)
+    _, ref = select_values(rects, boxes, parent, CAP,
+                           parent_counts=pcnt, interpret=True)
+    got = select_counts(rects, boxes, parent, parent_counts=pcnt,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # exact-coverage path: reuse the REAL record channels from binning
+    from tests.test_tiled import _cam, _random_scene
+    from tpu2dgs.raster import pallas_backend as pb
+    from tpu2dgs.raster import preprocess as pre
+
+    w, h = 256, 128
+    cam = _cam(w, h)
+    scene = _random_scene(n=200, seed=9)
+    splats = pre.preprocess(*scene[:5], cam, w, h, 3)
+    comp = binning.compact_visible(splats, 200)
+    rec = pb.pack_records(splats)
+    slot_f = comp.perm.astype(jnp.float32)[None, :]
+    # one parent of full records in box order (like the L2 input)
+    chans = jnp.transpose(rec[comp.perm][None], (0, 2, 1))
+    live = (jnp.arange(chans.shape[2]) < comp.num_visible)[None, None, :]
+    pads = jnp.asarray(pb._REC_PADS, jnp.float32)[None, :, None]
+    chans = jnp.where(live, chans, pads)
+    tx0 = jnp.asarray([0.0, 128.0, 0.0, 128.0], jnp.float32)
+    ty0 = jnp.asarray([0.0, 0.0, 64.0, 64.0], jnp.float32)
+    rects2 = (tx0, tx0 + 127, ty0, ty0 + 63)
+    parent2 = jnp.zeros(4, jnp.int32)
+    pcnt2 = jnp.broadcast_to(comp.num_visible, (4,))
+    _, ref2 = select_values(
+        rects2, chans, parent2, 256, parent_counts=pcnt2, box_idx=None,
+        exact_idx=pb._EXACT_IDX, pad_vals=pb._REC_PADS, interpret=True)
+    got2 = select_counts(
+        rects2, chans, parent2, parent_counts=pcnt2, box_idx=None,
+        exact_idx=pb._EXACT_IDX, pad_vals=pb._REC_PADS, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+    assert int(jnp.sum(got2)) > 0  # the exact path actually selected

@@ -402,3 +402,95 @@ def pad_candidates(stacked, m_padded: int, pad_vals):
     fills = jnp.broadcast_to(
         jnp.array(pad_vals, stacked.dtype)[None, :, None], (np_, c, pad))
     return jnp.concatenate([stacked, fills], axis=-1)
+
+
+def _count_kernel(parent_ref, pcnt_ref, rx0_ref, rx1_ref, ry0_ref,
+                  ry1_ref, chan_ref, cnt_ref, *, mb: int, n_chan: int,
+                  box_idx, exact_idx):
+    """Count-only variant of _select_values_kernel: the same per-row hit
+    test with NONE of the value-carry machinery (no mantissa splits, no
+    one-hot matmuls, no output staging). The round-6 CSR plan's step 1:
+    per-row counts feed a group-aligned offset cumsum so the full select
+    can write a globally PACKED output at known cursors."""
+    i = pl.program_id(0)
+    rx0 = rx0_ref[i]
+    rx1 = rx1_ref[i]
+    ry0 = ry0_ref[i]
+    ry1 = ry1_ref[i]
+    needed = set(box_idx or ()) | set(exact_idx or ())
+    pcnt = jnp.minimum(pcnt_ref[i], mb * LB)
+    nmac = (pcnt + (8 * LB - 1)) // (8 * LB)
+
+    def macro_body(bm, total):
+        b0 = bm * 8
+        blocks = {c: chan_ref[0, c, pl.ds(b0, 8), :] for c in needed}
+        if box_idx is not None:
+            hit8 = ((blocks[box_idx[0]] <= rx1)
+                    & (blocks[box_idx[1]] >= rx0)
+                    & (blocks[box_idx[2]] <= ry1)
+                    & (blocks[box_idx[3]] >= ry0))
+        else:
+            hit8 = None
+        if exact_idx is not None:
+            exact8 = _exact_coverage(blocks, exact_idx, rx0, rx1, ry0, ry1)
+            hit8 = exact8 if hit8 is None else hit8 & exact8
+        return total + jnp.sum(hit8.astype(jnp.float32))
+
+    total = lax.fori_loop(0, nmac, macro_body, jnp.float32(0.0))
+    cnt_ref[i, 0] = total.astype(jnp.int32)
+
+
+def select_counts(row_rects, cand_channels, parent_of_row,
+                  parent_counts=None, pad_vals=None,
+                  interpret: bool = False, box_idx=(0, 1, 2, 3),
+                  exact_idx: tuple | None = None):
+    """Per-row TOTAL hit counts under the same tests as select_values,
+    without compacting anything — bit-identical to select_values' counts
+    output (tested) at a fraction of its cost. Returns (R,) int32."""
+    rx0, rx1, ry0, ry1 = (a.astype(jnp.float32) for a in row_rects)
+    r = rx0.shape[0]
+    if isinstance(cand_channels, (tuple, list)):
+        stacked = jnp.stack(
+            [a.astype(jnp.float32) for a in cand_channels], axis=1)
+    else:
+        stacked = cand_channels.astype(jnp.float32)
+    np_, n_chan, m_in = stacked.shape
+    if pad_vals is None:
+        assert box_idx is not None, "exact-only rows need explicit pad_vals"
+        pad_vals = [0.0] * n_chan
+        for bi, v in zip(box_idx, BOX_PADS):
+            pad_vals[bi] = v
+    pad_vals = tuple(float(v) for v in pad_vals)
+    stacked = pad_candidates(stacked, -(-m_in // (8 * LB)) * (8 * LB),
+                             pad_vals)
+    m = stacked.shape[-1]
+    mb = m // LB
+    if parent_counts is None:
+        pcnt = jnp.full((r,), m, jnp.int32)
+    else:
+        pcnt = parent_counts.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_chan, mb, LB),
+                lambda i, parent, *_: (parent[i], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    (counts,) = pl.pallas_call(
+        functools.partial(_count_kernel, mb=mb, n_chan=n_chan,
+                          box_idx=box_idx, exact_idx=exact_idx),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((r, 1), jnp.int32)],
+        interpret=interpret,
+    )(parent_of_row.astype(jnp.int32), pcnt, rx0, rx1, ry0, ry1,
+      stacked.reshape(np_, n_chan, mb, LB))
+    return counts.reshape(r)
